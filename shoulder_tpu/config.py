@@ -1,0 +1,105 @@
+"""Central, frozen configuration for the shoulder_tpu pipeline.
+
+The reference implementation (gregspangenberg/shoulder) hardcodes these values
+inline in function signatures; they are load-bearing for ML-model compatibility
+(see reference src/shoulder/humerus/slice.py:236-237 "must not change needed
+for anp cnn").  We centralize them here as frozen dataclasses.
+
+Reference provenance of each default is cited inline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SliceSetConfig:
+    """One family of parallel cross-sections in the OBB frame.
+
+    Mirrors reference slice.FullSlices / ProximalSlices / DistalSlices
+    (src/shoulder/humerus/slice.py:209-276).
+    """
+
+    zslice_num: int
+    interp_num: int
+    return_odd: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # --- slicing families (reference slice.py:209-276) -------------------
+    full: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=100)
+    # "must not change needed for anp cnn" (reference slice.py:236-237)
+    proximal: SliceSetConfig = SliceSetConfig(zslice_num=600, interp_num=512)
+    distal: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=500)
+
+    # fraction of the OBB z-extent covered by full/distal slicing
+    # (reference slice.py:221-222, 273)
+    z_inset: float = 0.99
+
+    # --- cutoff windows (fractions of the slice stack, bottom..top) ------
+    # canal line-fit window (reference canal.py:19)
+    canal_cutoff: Tuple[float, float] = (0.35, 0.75)
+    # surgical-neck changepoint window, full bone (reference surgical_neck.py:29)
+    surgical_neck_cutoff_full: Tuple[float, float] = (0.70, 0.99)
+    # surgical-neck changepoint window, proximal-only (surgical_neck.py:27)
+    surgical_neck_cutoff_prox: Tuple[float, float] = (0.2, 0.99)
+    # bicipital-groove detection window (reference bicipital_groove.py:26)
+    groove_cutoff: Tuple[float, float] = (0.2, 0.75)
+    # anatomic-neck polar image window, "not changeable" (anatomic_neck.py:34)
+    anp_cutoff: Tuple[float, float] = (0.0, 0.852)
+    # transepicondylar search window (reference epicondyle.py:34)
+    epicondyle_cutoff: Tuple[float, float] = (0.8, 0.99)
+
+    # --- OBB / orientation ------------------------------------------------
+    # proximal-humerus canal default cutoff pcts come from the OBB area scan
+    # (reference mesh.py:133-192); full-bone default below (mesh.py:61)
+    full_obb_cutoff_pcts: Tuple[float, float] = (0.5, 0.8)
+    # end-slice inset for head-end detection (reference mesh.py:94)
+    head_probe_inset: float = 0.95
+    # ProxObb area scan stations + inset (reference mesh.py:151-156)
+    prox_area_stations: int = 100
+    prox_area_inset: float = 0.99
+    # area-gradient threshold for canal-region detection (mesh.py:186)
+    prox_grad_threshold: float = 10.0
+
+    # --- bicipital groove (reference bicipital_groove.py) -----------------
+    groove_deg_window: float = 7.0        # bicipital_groove.py:26
+    groove_savgol_window: int = 10        # bicipital_groove.py:107
+    groove_savgol_polyorder: int = 1
+    groove_peak_height: float = -10.0     # bicipital_groove.py:113-118
+    groove_peak_prominence: float = 0.6
+    groove_peak_width: float = 0.1
+    groove_max_peaks: int = 7             # bicipital_groove.py:123
+    groove_rf_threshold: float = 0.4      # bicipital_groove.py:185
+    groove_kde_bins: int = 1024           # bicipital_groove.py:186
+    groove_kde_bandwidth: float = 1.0     # sklearn KernelDensity default
+
+    # --- anatomic neck -----------------------------------------------------
+    # classical (sphere) articular segmenter parameters (shoulder_tpu design;
+    # replaces the reference's UNet whose weights are absent from the
+    # snapshot, see SURVEY.md §2.2)
+    sphere_seg_iters: int = 12
+    sphere_seg_tol_mm: float = 2.0
+    sphere_seg_init_top_rows: float = 0.3
+
+    # --- epicondyle --------------------------------------------------------
+    mrr_coarse_angles: int = 256
+    mrr_fine_angles: int = 17
+    epicondyle_yscale: float = 0.999      # epicondyle.py:51
+    epicondyle_max_fragments: int = 8
+
+    # --- static padded sizes (compile-time shapes) -------------------------
+    max_faces: int = 40960
+    max_verts: int = 24576
+    max_chain: int = 2048                 # max points in one section loop
+    # per-slice peak slots for the groove stage (7 kept of <=16 found)
+    max_peaks_per_slice: int = 16
+
+    # changepoint: ruptures.KernelCPD(kernel="rbf") min segment size default
+    cpd_min_size: int = 2
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,160 @@
+"""Stage-1 tests: STL IO, welding, adjacency, host slicing oracle, OBB."""
+
+import numpy as np
+import pytest
+
+from shoulder_tpu.host import obb as obb_host
+from shoulder_tpu.host import slicing_np
+from shoulder_tpu.io import stl
+from shoulder_tpu.io.testdata import synthetic_humerus
+
+from conftest import reference_stl
+
+
+def _box_mesh(extents, transform=None):
+    e = np.asarray(extents) / 2.0
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    ) * e
+    # 12 triangles, outward wound
+    quads = [
+        (0, 1, 3, 2, [-1, 0, 0]),
+        (4, 6, 7, 5, [1, 0, 0]),
+        (0, 4, 5, 1, [0, -1, 0]),
+        (2, 3, 7, 6, [0, 1, 0]),
+        (0, 2, 6, 4, [0, 0, -1]),
+        (1, 5, 7, 3, [0, 0, 1]),
+    ]
+    faces = []
+    for a, b, c, d, _n in quads:
+        faces.append([a, b, c])
+        faces.append([a, c, d])
+    faces = np.array(faces)
+    verts = corners
+    if transform is not None:
+        verts = verts @ transform[:3, :3].T + transform[:3, 3]
+    return verts, faces
+
+
+def test_stl_roundtrip(tmp_path):
+    verts, faces = _box_mesh([2.0, 3.0, 5.0])
+    p = tmp_path / "box.stl"
+    stl.write_stl(p, verts, faces)
+    tri = stl.read_stl(p)
+    assert tri.shape == (12, 3, 3)
+    v2, f2 = stl.weld(tri)
+    assert v2.shape == (8, 3)
+    assert f2.shape == (12, 3)
+    nb, watertight = stl.edge_face_adjacency(f2)
+    assert watertight
+    assert (nb >= 0).all()
+
+
+def test_reference_fixture_loads():
+    p = reference_stl("humerus_left.stl")
+    verts, faces, neighbors, watertight = stl.load_indexed(p)
+    assert watertight
+    assert 25000 < faces.shape[0] < 40000
+    # Euler characteristic of a genus-0 closed surface: V - E + F = 2
+    edges = faces.shape[0] * 3 // 2
+    assert verts.shape[0] - edges + faces.shape[0] == 2
+
+
+def test_cross_section_box():
+    verts, faces = _box_mesh([2.0, 4.0, 10.0])
+    nb, _ = stl.edge_face_adjacency(faces)
+    loops = slicing_np.cross_section(verts, faces, nb, 1.0)
+    assert len(loops) == 1
+    l = loops[0]
+    assert l["area"] == pytest.approx(8.0, rel=1e-9)
+    assert np.allclose(l["centroid"], [0, 0], atol=1e-12)
+    # points on the rectangle boundary
+    assert np.all(np.abs(l["points"][:, 0]) <= 1.0 + 1e-9)
+    assert np.all(np.abs(l["points"][:, 1]) <= 2.0 + 1e-9)
+
+
+def test_cross_section_orientation_ccw():
+    verts, faces = _box_mesh([2.0, 2.0, 2.0])
+    nb, _ = stl.edge_face_adjacency(faces)
+    loops = slicing_np.cross_section(verts, faces, nb, 0.3)
+    pts = loops[0]["points"]
+    x, y = pts[:, 0], pts[:, 1]
+    signed = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    assert signed > 0  # CCW exterior
+
+
+def test_cross_section_synthetic_humerus(synthetic_bone):
+    verts, faces = synthetic_bone
+    nb, watertight = stl.edge_face_adjacency(faces)
+    assert watertight
+    zmid = verts[:, 2].mean()
+    loops = slicing_np.cross_section(verts, faces, nb, zmid)
+    assert len(loops) >= 1
+    area = slicing_np.largest_loop(loops)["area"]
+    assert area > 0
+
+
+def test_resample_polygon_even_spacing():
+    t = np.linspace(0, 2 * np.pi, 33)
+    xy = np.c_[np.cos(t), np.sin(t)]  # closed (first == last)
+    rs = slicing_np.resample_polygon(xy, 100)
+    d = np.linalg.norm(np.diff(rs, axis=0), axis=1)
+    # spacing is even in arc length along the polygon; chord lengths of
+    # samples straddling polygon vertices differ at second order
+    assert d.max() / d.min() < 1.01
+    assert np.allclose(rs[0], xy[0])
+    assert np.allclose(rs[-1], xy[-1])
+
+
+def test_obb_box_exact():
+    rng = np.random.default_rng(42)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    rot = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    tf = np.eye(4)
+    tf[:3, :3] = rot
+    tf[:3, 3] = [10.0, -5.0, 3.0]
+    verts, faces = _box_mesh([3.0, 7.0, 20.0], tf)
+    to_obb, extents = obb_host.oriented_bounds(verts)
+    assert np.allclose(np.sort(extents), [3.0, 7.0, 20.0], atol=1e-6)
+    # extents ascending => z is the long axis
+    assert extents[2] == pytest.approx(20.0, abs=1e-6)
+    v2 = verts @ to_obb[:3, :3].T + to_obb[:3, 3]
+    lo, hi = v2.min(axis=0), v2.max(axis=0)
+    assert np.allclose(lo, -extents / 2, atol=1e-6)
+    assert np.allclose(hi, extents / 2, atol=1e-6)
+    # rigid
+    assert np.linalg.det(to_obb[:3, :3]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_obb_synthetic_long_axis(synthetic_bone):
+    verts, faces = synthetic_bone
+    to_obb, extents = obb_host.oriented_bounds(verts)
+    assert extents[2] > 250  # bone length dominates
+    assert extents[2] >= extents[1] >= extents[0]
+
+
+def test_ingest_full_bone(synthetic_bone):
+    from shoulder_tpu.io import ingest
+    from shoulder_tpu.io.stl import write_stl
+    import tempfile, os
+
+    verts, faces = synthetic_bone
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "synth.stl")
+        write_stl(p, verts, faces)
+        spec = ingest.load_bone(p)
+    assert spec.watertight
+    # head (larger cross sections) must be oriented +z
+    v = spec.vertices_raw @ spec.obb_transform[:3, :3].T + spec.obb_transform[:3, 3]
+    top = v[v[:, 2] > 0.8 * v[:, 2].max()]
+    bot = v[v[:, 2] < 0.8 * v[:, 2].min()]
+    # head is rounder: circle-fit residual smaller near the top
+    assert top.shape[0] > 10 and bot.shape[0] > 10
