@@ -1,0 +1,252 @@
+"""Batched mesh x plane cross-section kernel (pure JAX, fixed shapes).
+
+This is the #1 kernel of the framework (SURVEY.md §7): the reference spends
+its time in trimesh.section_multiplane + per-contour resampling
+(reference slice.py:21-29,166-189).  Here the whole thing is dense,
+fixed-shape XLA:
+
+  1. per-face plane crossing + oriented intersection segments (elementwise),
+  2. loop labelling via pointer doubling over the face-adjacency successor
+     map (O(log MAX_CHAIN) dense gather rounds — no sequential walk),
+  3. per-loop area/centroid/point-count via scatter-adds,
+  4. loop ordering via parallel list ranking (pointer jumping),
+  5. arc-length resampling to a fixed number of contour points.
+
+Everything vmaps over slices and bones; lax.map chunking bounds the (S, F)
+intermediate footprint.
+
+Orientation convention: segments are directed z_hat x face_normal, so
+exterior loops come out CCW (positive shoelace area) and holes CW, matching
+shapely's convention used by the reference's largest-polygon selection
+(slice.py:52-60).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_DOUBLING_ITERS = 11  # supports loops up to 2^11 = 2048 faces
+
+
+class FaceGeom(NamedTuple):
+    """Per-bone, z-independent face data precomputed once per mesh."""
+
+    fvx: jnp.ndarray      # (F,3) x of the 3 vertices of each face
+    fvy: jnp.ndarray      # (F,3)
+    fvz: jnp.ndarray      # (F,3)
+    dir2d: jnp.ndarray    # (F,2) z_hat x face_normal (xy part)
+    neighbors: jnp.ndarray  # (F,3) neighbor face across edge slot k
+
+
+class SliceStack(NamedTuple):
+    """The universal contour-stack intermediate (SURVEY.md §7)."""
+
+    contours: jnp.ndarray    # (S, N, 2) resampled largest-loop contours
+    centroids: jnp.ndarray   # (S, 2) area centroid of the largest loop
+    areas: jnp.ndarray       # (S,) largest-loop signed area
+    total_areas: jnp.ndarray  # (S,) sum of signed loop areas
+    zs: jnp.ndarray          # (S,)
+
+
+class RawLoop(NamedTuple):
+    points: jnp.ndarray   # (max_chain, 2) ordered loop points (padded)
+    n: jnp.ndarray        # () int32 number of valid points
+    area: jnp.ndarray     # ()
+    centroid: jnp.ndarray  # (2,)
+
+
+def face_geom(verts, faces, neighbors) -> FaceGeom:
+    fv = verts[faces]  # (F,3,3)
+    n = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    dir2d = jnp.stack([-n[:, 1], n[:, 0]], axis=1)
+    return FaceGeom(
+        fvx=fv[:, :, 0], fvy=fv[:, :, 1], fvz=fv[:, :, 2],
+        dir2d=dir2d, neighbors=neighbors,
+    )
+
+
+def _crossing_segments(geom: FaceGeom, z):
+    """Oriented intersection segments of every face with plane z.
+
+    Returns (crossed (F,), start (F,2), end (F,2), succ (F,)) where succ is
+    the next face along the loop (self for uncrossed faces).
+    """
+    F = geom.fvz.shape[0]
+    d = geom.fvz - z
+    d = jnp.where(d == 0.0, 1e-7, d)
+    pos = d > 0.0
+    pos_next = jnp.roll(pos, -1, axis=1)
+    cross_edge = pos != pos_next            # (F,3)
+    crossed = jnp.sum(cross_edge, axis=1) == 2
+
+    d_next = jnp.roll(d, -1, axis=1)
+    denom = d - d_next
+    denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    t = d / denom
+    px = geom.fvx + t * (jnp.roll(geom.fvx, -1, axis=1) - geom.fvx)
+    py = geom.fvy + t * (jnp.roll(geom.fvy, -1, axis=1) - geom.fvy)
+
+    ce = cross_edge
+    slot_a = jnp.argmax(ce, axis=1)                       # first crossing slot
+    slot_b = 2 - jnp.argmax(ce[:, ::-1], axis=1)          # last crossing slot
+    rows = jnp.arange(F)
+    pa = jnp.stack([px[rows, slot_a], py[rows, slot_a]], axis=1)
+    pb = jnp.stack([px[rows, slot_b], py[rows, slot_b]], axis=1)
+
+    forward = jnp.sum((pb - pa) * geom.dir2d, axis=1) >= 0.0
+    start = jnp.where(forward[:, None], pa, pb)
+    end = jnp.where(forward[:, None], pb, pa)
+    exit_slot = jnp.where(forward, slot_b, slot_a)
+
+    succ_raw = geom.neighbors[rows, exit_slot]
+    succ = jnp.where(crossed & (succ_raw >= 0), succ_raw, rows)
+    # a successor that is itself uncrossed (non-watertight edge) dead-ends
+    succ = jnp.where(crossed[succ], succ, rows)
+    return crossed, start, end, succ
+
+
+def _label_loops(crossed, succ):
+    """Min-index loop labels via pointer doubling.  Uncrossed -> F."""
+    F = succ.shape[0]
+    lab = jnp.where(crossed, jnp.arange(F), F)
+    ptr = succ
+    for _ in range(_DOUBLING_ITERS):
+        lab = jnp.minimum(lab, jnp.where(crossed, lab[ptr], lab))
+        ptr = ptr[ptr]
+    return lab
+
+
+def _loop_stats(crossed, start, end, lab, F):
+    """Per-label signed area, area centroid, point count, mean point.
+
+    Scatter-adds into F+1 slots; slot F collects all uncrossed faces.
+    """
+    cross2 = start[:, 0] * end[:, 1] - end[:, 0] * start[:, 1]
+    cross2 = jnp.where(crossed, cross2, 0.0)
+    area2 = jnp.zeros(F + 1).at[lab].add(cross2)
+    area = 0.5 * area2
+
+    cx = jnp.zeros(F + 1).at[lab].add((start[:, 0] + end[:, 0]) * cross2)
+    cy = jnp.zeros(F + 1).at[lab].add((start[:, 1] + end[:, 1]) * cross2)
+    denom = jnp.where(jnp.abs(area) > 1e-12, 6.0 * area, 1.0)
+    centroid = jnp.stack([cx, cy], axis=1) / denom[:, None]
+
+    ones = jnp.where(crossed, 1, 0)
+    count = jnp.zeros(F + 1, dtype=jnp.int32).at[lab].add(ones)
+    sx = jnp.zeros(F + 1).at[lab].add(jnp.where(crossed, start[:, 0], 0.0))
+    sy = jnp.zeros(F + 1).at[lab].add(jnp.where(crossed, start[:, 1], 0.0))
+    cnt = jnp.maximum(count, 1).astype(start.dtype)
+    mean_pt = jnp.stack([sx, sy], axis=1) / cnt[:, None]
+    return area, centroid, count, mean_pt
+
+
+def _order_loop(crossed, start, succ, lab, best, count_best, max_chain):
+    """Ordered (max_chain, 2) points of the loop labelled `best`."""
+    F = succ.shape[0]
+    rows = jnp.arange(F)
+    member = crossed & (lab == best)
+    is_rep = member & (rows == best)
+
+    ptr = jnp.where(is_rep, rows, succ)
+    rnk = jnp.where(is_rep, 0, 1)
+    for _ in range(_DOUBLING_ITERS):
+        rnk = rnk + rnk[ptr]
+        ptr = ptr[ptr]
+
+    position = jnp.where(is_rep, 0, count_best - rnk)
+    position = jnp.where(member, position, max_chain)  # dropped
+    points = (
+        jnp.zeros((max_chain, 2), dtype=start.dtype)
+        .at[position]
+        .set(start, mode="drop")
+    )
+    return points
+
+
+def _resample(points, n_valid, interp_num, max_chain):
+    """Arc-length resample of a padded ordered loop, closing it first.
+
+    Matches reference Slices._resample_polygon (slice.py:166-189) applied to
+    the closed discrete path.
+    """
+    idx = jnp.arange(max_chain + 1)
+    first = points[0]
+    closed = jnp.concatenate([points, points[:1]], axis=0)
+    # position n_valid holds the closing point; beyond that, repeat it so
+    # padded entries never influence the interpolation
+    closed = jnp.where((idx[:, None] < n_valid), closed, first[None, :])
+
+    seg = jnp.linalg.norm(jnp.diff(closed, axis=0), axis=1)
+    seg = jnp.where(idx[:-1] < n_valid, seg, 0.0)
+    cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
+    total = cum[-1]
+    # strictly increase past the valid range so interp never lands there
+    cum = jnp.where(idx <= n_valid, cum, total + (idx - n_valid).astype(cum.dtype))
+
+    d_sampled = jnp.linspace(0.0, total, interp_num)
+    x = jnp.interp(d_sampled, cum, closed[:, 0])
+    y = jnp.interp(d_sampled, cum, closed[:, 1])
+    return jnp.stack([x, y], axis=1)
+
+
+def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int):
+    F = geom.fvz.shape[0]
+    crossed, start, end, succ = _crossing_segments(geom, z)
+    lab = _label_loops(crossed, succ)
+    area, centroid, count, _ = _loop_stats(crossed, start, end, lab, F)
+    best = jnp.argmax(area[:F])
+    n_best = count[best]
+    points = _order_loop(crossed, start, succ, lab, best, n_best, max_chain)
+    contour = _resample(points, n_best, interp_num, max_chain)
+    return contour, centroid[best], area[best], jnp.sum(area[:F])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interp_num", "max_chain", "chunk")
+)
+def slice_stack(
+    verts, faces, neighbors, zs, interp_num: int, max_chain: int = 2048,
+    chunk: int = 50,
+) -> SliceStack:
+    """Cross-section contour stack for all planes `zs` of one mesh."""
+    geom = face_geom(verts, faces, neighbors)
+
+    def one(z):
+        return _slice_one(geom, z, interp_num, max_chain)
+
+    contours, centroids, areas, total_areas = jax.lax.map(
+        one, zs, batch_size=chunk
+    )
+    return SliceStack(contours, centroids, areas, total_areas, zs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_chain", "select"))
+def slice_raw(
+    verts, faces, neighbors, z, max_chain: int = 2048, select: str = "largest"
+) -> RawLoop:
+    """Single-plane section returning the raw ordered loop (unresampled).
+
+    select='largest' picks the max-area loop (reference slice.py:52-60);
+    select='central' picks the loop whose mean point is nearest the z axis
+    (reference surgical_neck.py:40-50).
+    """
+    geom = face_geom(verts, faces, neighbors)
+    F = geom.fvz.shape[0]
+    crossed, start, end, succ = _crossing_segments(geom, z)
+    lab = _label_loops(crossed, succ)
+    area, centroid, count, mean_pt = _loop_stats(crossed, start, end, lab, F)
+    if select == "largest":
+        best = jnp.argmax(area[:F])
+    elif select == "central":
+        score = jnp.abs(mean_pt[:F, 0]) + jnp.abs(mean_pt[:F, 1])
+        score = jnp.where(count[:F] >= 3, score, jnp.inf)
+        best = jnp.argmin(score)
+    else:
+        raise ValueError(select)
+    n_best = count[best]
+    points = _order_loop(crossed, start, succ, lab, best, n_best, max_chain)
+    return RawLoop(points, n_best, area[best], centroid[best])

@@ -1,0 +1,142 @@
+"""Device slice kernel vs the exact numpy oracle.
+
+Both implementations start each loop at its minimum face index and walk the
+same successor map, so ordered contours must agree to float32 precision.
+"""
+
+import numpy as np
+import pytest
+
+from shoulder_tpu.host import slicing_np
+from shoulder_tpu.io import stl
+from shoulder_tpu.ops import slicing
+
+from conftest import reference_stl
+
+
+def _prep(verts, faces):
+    nb, wt = stl.edge_face_adjacency(faces)
+    assert wt
+    return (
+        verts.astype(np.float32),
+        faces.astype(np.int32),
+        nb.astype(np.int32),
+    )
+
+
+def _oracle_contour(verts, faces, nb, z, interp_num):
+    loops = slicing_np.cross_section(verts.astype(np.float64), faces, nb, z)
+    loop = slicing_np.largest_loop(loops)
+    closed = slicing_np.close_loop(loop["points"])
+    return slicing_np.resample_polygon(closed, interp_num), loop
+
+
+@pytest.mark.parametrize("rel_z", [0.15, 0.35, 0.5, 0.75, 0.9])
+def test_stack_matches_oracle_synthetic(synthetic_bone, rel_z):
+    verts, faces = synthetic_bone
+    v32, f32, nb = _prep(verts, faces)
+    zlo, zhi = verts[:, 2].min(), verts[:, 2].max()
+    z = float(zlo + rel_z * (zhi - zlo))
+
+    stack = slicing.slice_stack(v32, f32, nb, np.array([z], np.float32), 64)
+    contour = np.asarray(stack.contours[0])
+    oracle, loop = _oracle_contour(verts, faces, nb, z, 64)
+
+    assert np.asarray(stack.areas[0]) == pytest.approx(loop["area"], rel=1e-4)
+    assert np.allclose(np.asarray(stack.centroids[0]), loop["centroid"], atol=1e-3)
+    assert np.allclose(contour, oracle, atol=2e-3)
+
+
+def test_stack_matches_oracle_reference_bone():
+    p = reference_stl("humerus_left.stl")
+    verts, faces, nb, _ = stl.load_indexed(p)
+    v32, f32, nb32 = _prep(verts, faces)
+    zlo, zhi = verts[:, 2].min(), verts[:, 2].max()
+    zs = np.linspace(zlo + 0.05 * (zhi - zlo), zhi - 0.05 * (zhi - zlo), 9)
+
+    stack = slicing.slice_stack(
+        v32, f32, nb32, zs.astype(np.float32), 100
+    )
+    for i, z in enumerate(zs):
+        oracle, loop = _oracle_contour(verts, faces, nb, float(z), 100)
+        assert np.asarray(stack.areas[i]) == pytest.approx(
+            loop["area"], rel=1e-3
+        ), f"slice {i}"
+        assert np.allclose(
+            np.asarray(stack.contours[i]), oracle, atol=5e-3
+        ), f"slice {i}"
+
+
+def test_raw_loop_matches_oracle(synthetic_bone):
+    verts, faces = synthetic_bone
+    v32, f32, nb = _prep(verts, faces)
+    z = float(np.mean(verts[:, 2]))
+    raw = slicing.slice_raw(v32, f32, nb, np.float32(z), select="largest")
+    loops = slicing_np.cross_section(verts, faces, nb, z)
+    loop = slicing_np.largest_loop(loops)
+    n = int(raw.n)
+    assert n == loop["points"].shape[0]
+    assert np.allclose(np.asarray(raw.points[:n]), loop["points"], atol=2e-3)
+
+
+def test_raw_central_selection():
+    # two disjoint solids at one z: central selection must pick the one
+    # nearer the z-axis even though it is smaller
+    def box(extents, center):
+        e = np.asarray(extents) / 2.0
+        corners = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+        ) * e + np.asarray(center)
+        quads = [
+            (0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+            (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3),
+        ]
+        faces = []
+        for a, b, c, d in quads:
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+        return corners, np.array(faces)
+
+    v1, f1 = box([2, 2, 2], [0.5, 0, 0])       # near axis, small
+    v2, f2 = box([8, 8, 2], [30.0, 0, 0])      # far away, big
+    verts = np.vstack([v1, v2])
+    faces = np.vstack([f1, f2 + 8])
+    nb, _ = stl.edge_face_adjacency(faces)
+    raw = slicing.slice_raw(
+        verts.astype(np.float32), faces.astype(np.int32), nb.astype(np.int32),
+        np.float32(0.0), select="central",
+    )
+    pts = np.asarray(raw.points[: int(raw.n)])
+    assert np.all(np.abs(pts[:, 0]) < 3.0)  # picked the near-axis box
+
+    raw2 = slicing.slice_raw(
+        verts.astype(np.float32), faces.astype(np.int32), nb.astype(np.int32),
+        np.float32(0.0), select="largest",
+    )
+    pts2 = np.asarray(raw2.points[: int(raw2.n)])
+    assert np.all(pts2[:, 0] > 20.0)  # picked the big box
+
+
+def test_stack_batched_vmap_consistency(synthetic_bone):
+    import jax
+
+    verts, faces = synthetic_bone
+    v32, f32, nb = _prep(verts, faces)
+    zlo, zhi = float(verts[:, 2].min()), float(verts[:, 2].max())
+    zs = np.linspace(zlo + 5, zhi - 5, 8).astype(np.float32)
+
+    single = slicing.slice_stack(v32, f32, nb, zs, 64)
+
+    vb = np.stack([v32, v32])
+    fb = np.stack([f32, f32])
+    nbb = np.stack([nb, nb])
+    zsb = np.stack([zs, zs])
+    batched = jax.vmap(
+        lambda v, f, n, z: slicing.slice_stack(v, f, n, z, 64)
+    )(vb, fb, nbb, zsb)
+    assert np.allclose(
+        np.asarray(batched.contours[0]), np.asarray(single.contours), atol=1e-5
+    )
+    assert np.allclose(
+        np.asarray(batched.contours[1]), np.asarray(single.contours), atol=1e-5
+    )
