@@ -1,0 +1,228 @@
+"""1D signal ops: Savitzky-Golay, find_peaks, linear-kernel KDE, RBF CPD.
+
+Dense fixed-shape JAX re-implementations of the scipy / sklearn / ruptures
+routines the reference leans on (SURVEY.md §2.3):
+
+  * savgol_filter(x, 10, 1)            reference bicipital_groove.py:107
+  * scipy.signal.find_peaks(...,
+      height, prominence, width)       bicipital_groove.py:113-118
+  * sklearn KernelDensity('linear')    bicipital_groove.py:184-188
+  * ruptures.KernelCPD('rbf'), 1 bkp   surgical_neck.py:31-34
+
+find_peaks follows scipy's exact definitions: prominence bases via
+previous/next strictly-greater element, tie-broken toward the peak; widths
+at rel_height=0.5 with linear interpolation of the crossing points.  The
+O(N^2) masked formulation trades FLOPs for full vectorization — N=512 per
+contour, vmapped over slices and bones on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.inf
+
+
+def savgol_filter(x, window: int, polyorder: int):
+    """scipy.signal.savgol_filter with mode='interp' semantics.
+
+    Supports the two configurations the reference uses: (10, 1) and (3, 1).
+    For polyorder 1 the interior is a moving average over a window spanning
+    [i - w//2, i + (w-1)//2]; the first/last w//2 (odd: (w-1)//2) samples are
+    replaced by a linear fit over the first/last window.
+    """
+    if polyorder != 1:
+        raise NotImplementedError("only polyorder=1 is used by the pipeline")
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    half_lo = (window - 1) // 2      # samples to the left of center
+    half_hi = window - 1 - half_lo   # to the right (even windows lean right)
+    edge = window // 2
+
+    # interior: moving average via cumsum
+    c = jnp.cumsum(
+        jnp.concatenate([jnp.zeros(x.shape[:-1] + (1,), x.dtype), x], axis=-1),
+        axis=-1,
+    )
+    idx = jnp.arange(n)
+    lo = jnp.clip(idx - half_lo, 0, n)
+    hi = jnp.clip(idx + half_hi + 1, 0, n)
+    interior = (jnp.take(c, hi, axis=-1) - jnp.take(c, lo, axis=-1)) / window
+
+    # linear fit over the first/last `window` samples (static weights)
+    t = np.arange(window)
+    a = np.stack([t, np.ones(window)], axis=1)
+    proj = np.linalg.pinv(a)  # (2, window)
+    w_start = (a[:edge] @ proj).astype(np.float32)            # (edge, window)
+    w_end = (a[window - edge:] @ proj).astype(np.float32)     # (edge, window)
+
+    head = jnp.einsum("ew,...w->...e", jnp.asarray(w_start, x.dtype), x[..., :window])
+    tail = jnp.einsum("ew,...w->...e", jnp.asarray(w_end, x.dtype), x[..., -window:])
+
+    out = interior
+    out = jnp.concatenate([head, out[..., edge:]], axis=-1)
+    out = jnp.concatenate([out[..., :-edge], tail], axis=-1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_peaks",))
+def find_peaks(x, height: float, prominence: float, width: float,
+               max_peaks: int = 16):
+    """scipy.signal.find_peaks(height=, prominence=, width=) equivalent.
+
+    Returns a dict of fixed-size (max_peaks,) arrays sorted by descending
+    prominence, with `valid` marking real peaks:
+      idx, prominences, widths, width_heights, valid, n_peaks.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    i = jnp.arange(n)
+
+    left = jnp.concatenate([jnp.array([_BIG], x.dtype), x[:-1]])
+    right = jnp.concatenate([x[1:], jnp.array([_BIG], x.dtype)])
+    is_peak = (x > left) & (x > right)
+    is_peak = is_peak & (x >= height)
+
+    # pairwise masks (n, n): axis 0 = peak position p, axis 1 = candidate j
+    xp = x[:, None]
+    xj = x[None, :]
+    jj = i[None, :]
+    pp = i[:, None]
+
+    greater = xj > xp
+    # previous strictly-greater element (exclusive), -1 if none
+    lmask = greater & (jj < pp)
+    lb_bound = jnp.max(jnp.where(lmask, jj, -1), axis=1)
+    # next strictly-greater element, n if none
+    rmask = greater & (jj > pp)
+    rb_bound = jnp.min(jnp.where(rmask, jj, n), axis=1)
+
+    # left interval (lb_bound, p]; min value, base = largest argmin (ties
+    # toward the peak, matching scipy's walk)
+    linterval = (jj > lb_bound[:, None]) & (jj <= pp)
+    lvals = jnp.where(linterval, xj, _BIG)
+    lmin = jnp.min(lvals, axis=1)
+    lbase = jnp.max(jnp.where(lvals == lmin[:, None], jj, -1), axis=1)
+
+    rinterval = (jj < rb_bound[:, None]) & (jj >= pp)
+    rvals = jnp.where(rinterval, xj, _BIG)
+    rmin = jnp.min(rvals, axis=1)
+    rbase = jnp.min(jnp.where(rvals == rmin[:, None], jj, n), axis=1)
+
+    prom = x - jnp.maximum(lmin, rmin)
+
+    # widths at rel_height=0.5 (scipy default)
+    wh = x - 0.5 * prom
+    # left crossing: largest j in [lbase, p] with x[j] <= wh
+    lcross_mask = (jj >= lbase[:, None]) & (jj <= pp) & (xj <= wh[:, None])
+    lj = jnp.max(jnp.where(lcross_mask, jj, -1), axis=1)
+    lj = jnp.clip(lj, 0, n - 1)
+    ljn = jnp.clip(lj + 1, 0, n - 1)
+    denom_l = x[ljn] - x[lj]
+    frac_l = jnp.where(
+        (x[lj] < wh) & (jnp.abs(denom_l) > 0),
+        (wh - x[lj]) / jnp.where(denom_l == 0, 1.0, denom_l),
+        0.0,
+    )
+    left_ip = jnp.where(x[lj] < wh, lj + frac_l, lj.astype(x.dtype))
+
+    rcross_mask = (jj <= rbase[:, None]) & (jj >= pp) & (xj <= wh[:, None])
+    rj = jnp.min(jnp.where(rcross_mask, jj, n), axis=1)
+    rj = jnp.clip(rj, 0, n - 1)
+    rjp = jnp.clip(rj - 1, 0, n - 1)
+    denom_r = x[rjp] - x[rj]
+    frac_r = jnp.where(
+        (x[rj] < wh) & (jnp.abs(denom_r) > 0),
+        (wh - x[rj]) / jnp.where(denom_r == 0, 1.0, denom_r),
+        0.0,
+    )
+    right_ip = jnp.where(x[rj] < wh, rj - frac_r, rj.astype(x.dtype))
+
+    widths = right_ip - left_ip
+
+    ok = is_peak & (prom >= prominence) & (widths >= width)
+
+    # pack the top max_peaks by prominence
+    score = jnp.where(ok, prom, -_BIG)
+    order = jnp.argsort(-score)[:max_peaks]
+    valid = ok[order]
+    return {
+        "idx": jnp.where(valid, order, 0),
+        "prominences": jnp.where(valid, prom[order], 0.0),
+        "widths": jnp.where(valid, widths[order], 0.0),
+        "width_heights": jnp.where(valid, wh[order], 0.0),
+        "valid": valid,
+        "n_peaks": jnp.sum(ok),
+    }
+
+
+def kde_linear_argmax(samples, sample_weights, grid):
+    """argmax over `grid` of a linear-kernel KDE (bandwidth 1.0).
+
+    sklearn KernelDensity(kernel='linear') density is proportional to
+    sum_i max(0, 1 - |x - x_i|); the argmax is invariant to normalization
+    (reference bicipital_groove.py:184-188).  `sample_weights` masks padded
+    samples.
+    """
+    d = jnp.abs(grid[:, None] - samples[None, :])
+    k = jnp.maximum(0.0, 1.0 - d) * sample_weights[None, :]
+    dens = jnp.sum(k, axis=1)
+    return grid[jnp.argmax(dens)], dens
+
+
+def rbf_changepoint_1bkp(signal, valid=None, min_size: int = 2):
+    """Exact single-breakpoint RBF-kernel changepoint detection.
+
+    ruptures.KernelCPD(kernel='rbf').predict(n_bkps=1) equivalent
+    (reference surgical_neck.py:31-34): gamma = 1 / median of off-diagonal
+    pairwise squared distances; segment cost c(s,e) = (e-s) - S(s,e)/(e-s)
+    where S is the Gram-block sum; minimize c(0,t) + c(t,n) over t.
+
+    `valid` (bool mask) supports a padded signal; the breakpoint index is
+    relative to the unpadded prefix.
+    """
+    x = jnp.asarray(signal, jnp.float32)
+    n_total = x.shape[0]
+    if valid is None:
+        valid = jnp.ones(n_total, dtype=bool)
+    n = jnp.sum(valid)
+
+    d2 = (x[:, None] - x[None, :]) ** 2
+    pair_ok = valid[:, None] & valid[None, :] & (
+        jnp.arange(n_total)[:, None] != jnp.arange(n_total)[None, :]
+    )
+    # median over valid off-diagonal entries (masked): sort with +inf fill
+    flat = jnp.where(pair_ok, d2, jnp.inf).ravel()
+    m = jnp.sum(pair_ok)
+    srt = jnp.sort(flat)
+    lo = (m - 1) // 2
+    hi = m // 2
+    med = 0.5 * (srt[lo] + srt[hi])
+    med = jnp.where(med > 0, med, 1.0)
+    k = jnp.exp(-d2 / med) * pair_ok
+    # diagonal of the RBF gram is 1 for valid entries
+    k = k + jnp.diag(jnp.where(valid, 1.0, 0.0))
+
+    # prefix sums of the gram for O(1) block sums
+    csum = jnp.cumsum(jnp.cumsum(k, axis=0), axis=1)
+    padded = jnp.zeros((n_total + 1, n_total + 1)).at[1:, 1:].set(csum)
+
+    def block(s, e):  # sum over K[s:e, s:e]
+        return padded[e, e] - padded[s, e] - padded[e, s] + padded[s, s]
+
+    ts = jnp.arange(n_total)
+    len1 = ts.astype(jnp.float32)
+    len2 = (n - ts).astype(jnp.float32)
+    s1 = jax.vmap(lambda t: block(0, t))(ts)
+    s2 = jax.vmap(lambda t: block(t, n))(ts)
+    cost = (
+        len1 - s1 / jnp.maximum(len1, 1.0)
+        + len2 - s2 / jnp.maximum(len2, 1.0)
+    )
+    ok = (ts >= min_size) & (ts <= n - min_size)
+    cost = jnp.where(ok, cost, jnp.inf)
+    return jnp.argmin(cost)

@@ -3,7 +3,8 @@ import sys
 from pathlib import Path
 
 # multi-device sharding tests run on a virtual 8-device CPU mesh
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# (force: the environment presets JAX_PLATFORMS=axon for the real chip)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",

@@ -1,0 +1,89 @@
+"""Signal ops vs scipy ground truth (scipy is the host oracle)."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from shoulder_tpu.ops import signal as sig
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("window", [10, 3])
+def test_savgol_matches_scipy(seed, window):
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(rng.normal(size=512)).astype(np.float32)
+    ours = np.asarray(sig.savgol_filter(x, window, 1))
+    ref = scipy.signal.savgol_filter(x.astype(np.float64), window, 1)
+    assert np.allclose(ours, ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_find_peaks_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    # smoothed noise, the same character as the groove radius signals
+    x = scipy.signal.savgol_filter(rng.normal(size=512), 15, 2).astype(
+        np.float32
+    )
+    ref_idx, ref_prop = scipy.signal.find_peaks(
+        x.astype(np.float64), height=-10, prominence=0.05, width=0.1
+    )
+    ours = sig.find_peaks(x, height=-10.0, prominence=0.05, width=0.1,
+                          max_peaks=128)
+    ok = np.asarray(ours["valid"])
+    idx = np.sort(np.asarray(ours["idx"])[ok])
+    assert idx.tolist() == ref_idx.tolist()
+
+    # per-peak properties (match by index)
+    order = np.argsort(np.asarray(ours["idx"])[ok])
+    prom = np.asarray(ours["prominences"])[ok][order]
+    widths = np.asarray(ours["widths"])[ok][order]
+    wh = np.asarray(ours["width_heights"])[ok][order]
+    assert np.allclose(prom, ref_prop["prominences"], atol=1e-4)
+    assert np.allclose(widths, ref_prop["widths"], atol=1e-3)
+    assert np.allclose(wh, ref_prop["width_heights"], atol=1e-4)
+
+
+def test_find_peaks_respects_filters():
+    x = np.zeros(64, np.float32)
+    x[10] = 1.0   # prominence 1
+    x[30] = 0.2   # prominence 0.2 -> filtered
+    out = sig.find_peaks(x, height=-10.0, prominence=0.6, width=0.1)
+    assert int(out["n_peaks"]) == 1
+    assert int(out["idx"][0]) == 10
+
+
+def test_kde_linear_argmax():
+    rng = np.random.default_rng(3)
+    samples = np.concatenate(
+        [rng.normal(1.2, 0.1, 40), rng.normal(-2.0, 0.4, 10)]
+    ).astype(np.float32)
+    grid = np.linspace(-np.pi, np.pi, 1024).astype(np.float32)
+    best, dens = sig.kde_linear_argmax(
+        samples, np.ones_like(samples), grid
+    )
+    # numpy oracle of the same (unnormalized) linear-kernel density
+    d = np.maximum(0, 1 - np.abs(grid[:, None] - samples[None, :])).sum(1)
+    assert float(best) == pytest.approx(grid[np.argmax(d)])
+    assert abs(float(best) - 1.2) < 0.2
+
+
+def test_rbf_changepoint_step_signal():
+    rng = np.random.default_rng(0)
+    x = np.concatenate(
+        [rng.normal(0, 0.05, 40), rng.normal(3.0, 0.05, 18)]
+    ).astype(np.float32)
+    t = int(sig.rbf_changepoint_1bkp(x))
+    assert t == 40
+
+
+def test_rbf_changepoint_padded_equals_unpadded():
+    rng = np.random.default_rng(1)
+    x = np.concatenate(
+        [np.linspace(10, 9, 30), np.linspace(9, 2, 28)]
+    ).astype(np.float32) + rng.normal(0, 0.02, 58).astype(np.float32)
+    t0 = int(sig.rbf_changepoint_1bkp(x))
+    xp = np.concatenate([x, np.zeros(70, np.float32)])
+    mask = np.arange(128) < 58
+    t1 = int(sig.rbf_changepoint_1bkp(xp, valid=mask))
+    assert t0 == t1
+    assert 20 <= t0 <= 40
