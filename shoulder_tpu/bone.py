@@ -1,0 +1,380 @@
+"""Humerus / ProximalHumerus facades.
+
+Reproduces the reference's public surface (reference bone.py:24-157,
+README.md:22-41) — including the published `trans_epiconylar` spelling —
+on top of the one-shot functional pipeline: the first landmark access runs
+`compute_landmarks` on the accelerator and caches every CT-frame result;
+accessors re-project through the shared Transform on each call, exactly
+like the reference's `_*_ct` convention.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from shoulder_tpu import config as cfg_mod
+from shoulder_tpu.base import Bone, Landmark, Transform
+from shoulder_tpu.io import ingest
+from shoulder_tpu.io.mesh import Mesh
+from shoulder_tpu.models import forest
+from shoulder_tpu.pipeline import batch as batch_mod
+from shoulder_tpu.utils import geometry as geom
+
+
+def _np(x):
+    return np.asarray(x, dtype=np.float64)
+
+
+def _tp(pts, matrix):
+    return np.asarray(pts) @ np.asarray(matrix)[:3, :3].T + np.asarray(matrix)[:3, 3]
+
+
+class _LandmarkView(Landmark):
+    def __init__(self, bone: "ProximalHumerus", plot_name: str):
+        self._bone = bone
+        self._tfrm = bone._tfrm
+        self._plot_name = plot_name
+        self._accessed = False
+
+    def _lm(self):
+        return self._bone._landmarks()
+
+    def transform_landmark(self) -> None:
+        pass  # projections recompute on read
+
+    def _scatter(self, pts):
+        return {
+            "type": "scatter3d",
+            "name": self._plot_name,
+            "x": pts[:, 0].tolist(),
+            "y": pts[:, 1].tolist(),
+            "z": pts[:, 2].tolist(),
+        }
+
+
+class Canal(_LandmarkView):
+    """Canal centerline (reference canal.py:10-142)."""
+
+    def points(self, cutoff_pcts=(0.35, 0.75)) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        pts = lm["canal_points"]
+        self._points = _tp(pts, self._tfrm.matrix)
+        return self._points
+
+    def axis(self, cutoff_pcts=(0.35, 0.75)) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        self._axis = _tp(lm["canal_axis"], self._tfrm.matrix)
+        return self._axis
+
+    @property
+    def _axis_ct(self):
+        return self._lm()["canal_axis"]
+
+    def _graph_obj(self):
+        if not self._accessed:
+            return None
+        return self._scatter(self.points())
+
+
+class SurgicalNeck(_LandmarkView):
+    """Surgical-neck contour (reference surgical_neck.py:12-93)."""
+
+    @property
+    def points(self) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        return _tp(lm["sn_points"], self._tfrm.matrix)
+
+    @property
+    def points_ct(self) -> np.ndarray:
+        return self._lm()["sn_points"]
+
+    @property
+    def neck_z(self) -> float:
+        return float(self._lm()["neck_z"])
+
+    def cutoff_zs(self, bottom_pct=0.35, top_pct=0.85):
+        """OBB-frame zs between the surgical neck (0) and head top (1)
+        (reference surgical_neck.py:59-68)."""
+        z_max = float(self._bone._spec.z_bounds[1])
+        span = z_max - self.neck_z
+        return [self.neck_z + span * bottom_pct, self.neck_z + span * top_pct]
+
+    def z_percent(self) -> float:
+        z_min, z_max = self._bone._spec.z_bounds
+        return (self.neck_z - z_min) / (abs(z_min) + abs(z_max))
+
+    def _graph_obj(self):
+        if not self._accessed:
+            return None
+        return self._scatter(self.points)
+
+
+class DeepGroove(_LandmarkView):
+    """Bicipital groove (reference bicipital_groove.py:18-284)."""
+
+    def points(self, cutoff_pcts=(0.2, 0.75), deg_window=7) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        self._points = _tp(lm["bg_points"], self._tfrm.matrix)
+        return self._points
+
+    def axis(self) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        self._axis = _tp(lm["bg_axis"], self._tfrm.matrix)
+        return self._axis
+
+    @property
+    def bg_theta(self) -> float:
+        return float(self._lm()["bg_theta"])
+
+    @property
+    def _points_ct(self):
+        return self._lm()["bg_points"]
+
+    def _graph_obj(self):
+        if not self._accessed:
+            return None
+        return self._scatter(self.points())
+
+
+class AnatomicNeck(_LandmarkView):
+    """Anatomic neck plane / rim / axes (reference anatomic_neck.py:18-273)."""
+
+    def points(self) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        self._points = _tp(lm["anp_points"], self._tfrm.matrix)
+        return self._points
+
+    def plane(self):
+        """Anatomic neck plane in the current frame."""
+        from shoulder_tpu.base import Plane
+
+        self._accessed = True
+        lm = self._lm()
+        m = self._tfrm.matrix
+        point = _tp(lm["anp_plane_point"][None], m)[0]
+        normal = np.asarray(m)[:3, :3] @ lm["anp_plane_normal"]
+        return Plane(point, normal)
+
+    def plane_points(self) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        if "anp_plane_points" not in lm:
+            # mesh section by the ANP plane in the CT frame
+            loops = self._bone._mesh_ct.section(
+                lm["anp_plane_normal"], lm["anp_plane_point"]
+            )
+            pts = (
+                np.concatenate([l["points"] for l in loops])
+                if loops else np.zeros((0, 3))
+            )
+            lm["anp_plane_points"] = pts
+        return _tp(lm["anp_plane_points"], self._tfrm.matrix)
+
+    def axis_normal(self) -> np.ndarray:
+        self._accessed = True
+        return _tp(self._lm()["anp_axis_normal"], self._tfrm.matrix)
+
+    def axis_central(self) -> np.ndarray:
+        self._accessed = True
+        return _tp(self._lm()["anp_axis_central"], self._tfrm.matrix)
+
+    @property
+    def _normal_axis_ct(self):
+        return self._lm()["anp_axis_normal"]
+
+    @property
+    def _central_axis_ct(self):
+        return self._lm()["anp_axis_central"]
+
+    def _graph_obj(self):
+        if not self._accessed:
+            return None
+        out = [self._scatter(self.points())]
+        out[0]["mode"] = "markers"
+        pp = self.plane_points()
+        if len(pp):
+            tr = self._scatter(pp)
+            tr["mode"] = "markers"
+            tr["name"] = "Anatomic Neck Plane"
+            out.append(tr)
+        return out
+
+
+class TransEpicondylar(_LandmarkView):
+    """Transepicondylar axis (reference epicondyle.py:15-117)."""
+
+    def axis(self, num_slices: int = 50) -> np.ndarray:
+        self._accessed = True
+        lm = self._lm()
+        self._axis = _tp(lm["te_axis"], self._tfrm.matrix)
+        return self._axis
+
+    @property
+    def _axis_ct(self):
+        return self._lm()["te_axis"]
+
+    def _graph_obj(self):
+        if not self._accessed:
+            return None
+        tr = self._scatter(self.axis())
+        tr["name"] = "Transverse Epicondylar Axis"
+        return tr
+
+
+class ProximalHumerus(Bone):
+    """Proximal-humerus facade (reference bone.py:24-105)."""
+
+    _proximal = True
+
+    def __init__(self, stl_file, config: cfg_mod.PipelineConfig = cfg_mod.DEFAULT_CONFIG):
+        self._cfg = config
+        self._tfrm = Transform()
+        self.transform = self._tfrm.matrix
+        self._spec = ingest.load_bone(stl_file, proximal=self._proximal,
+                                      config=config)
+        self.stl_file = Path(stl_file)
+        self._mesh_ct = Mesh(self._spec.vertices_raw, self._spec.faces_raw,
+                             self._spec.neighbors_raw)
+        self.mesh = self._mesh_ct.copy()
+        self._lm_cache = None
+
+        self.canal = Canal(self, "Canal Axis")
+        self.surgical_neck = SurgicalNeck(self, "Surgical Neck")
+        self.bicipital_groove = DeepGroove(self, "Bicipital Groove")
+        self.anatomic_neck = AnatomicNeck(self, "Anatomic Neck")
+
+    # ------------------------------------------------------------- compute
+    def _landmarks(self) -> dict:
+        if self._lm_cache is None:
+            bt = batch_mod.bone_tensors(self._spec)
+            rf = forest.load_params()
+            from shoulder_tpu.pipeline.landmarks import compute_landmarks
+
+            lm = compute_landmarks(bt, rf, proximal=self._proximal,
+                                   cfg=self._cfg)
+            lm = batch_mod.landmarks_to_numpy(lm)
+            d = {}
+            d["canal_points"] = _np(lm.canal_points[np.asarray(lm.canal_mask)])
+            d["canal_axis"] = _np(lm.canal_axis)
+            d["neck_z"] = float(lm.neck_z)
+            d["sn_points"] = _np(lm.sn_points[: int(lm.sn_n)])
+            d["bg_points"] = _np(lm.bg_points)
+            d["bg_axis"] = _np(lm.bg_axis)
+            d["bg_theta"] = float(lm.bg_theta)
+            d["anp_points"] = _np(lm.anp_points[: int(lm.anp_n)])
+            d["anp_plane_point"] = _np(lm.anp_plane_point)
+            d["anp_plane_normal"] = _np(lm.anp_plane_normal)
+            d["anp_axis_normal"] = _np(lm.anp_axis_normal)
+            d["anp_axis_central"] = _np(lm.anp_axis_central)
+            d["te_axis"] = _np(lm.te_axis)
+            d["side"] = "left" if bool(lm.side_is_left) else "right"
+            d["retroversion"] = float(lm.retroversion)
+            d["neckshaft"] = float(lm.neckshaft)
+            d["radius_curvature"] = float(lm.radius_curvature)
+            d["qc"] = {
+                "rf_pos_frac": float(lm.qc_rf_pos_frac),
+                "mask_area_frac": float(lm.qc_mask_area_frac),
+                "sphere_resid_mm": float(lm.qc_sphere_resid),
+                "canal_fit_rms_mm": float(lm.qc_canal_fit_rms),
+            }
+            self._lm_cache = d
+        return self._lm_cache
+
+    # ------------------------------------------------------------- metrics
+    def side(self) -> str:
+        return self._landmarks()["side"]
+
+    def neckshaft(self) -> float:
+        return self._landmarks()["neckshaft"]
+
+    def radius_curvature(self) -> float:
+        return self._landmarks()["radius_curvature"]
+
+    def quality(self) -> dict:
+        """Per-bone QC diagnostics (fit residuals, RF vote mass, mask area):
+        the observability layer the reference lacks (SURVEY.md §5)."""
+        return self._landmarks()["qc"]
+
+    # --------------------------------------------------------------- csys
+    def apply_csys_canal_articular(self) -> np.ndarray:
+        lm = self._landmarks()
+        self.canal.axis()
+        self.anatomic_neck.axis_central()
+        self.anatomic_neck.axis_normal()
+        self._tfrm.matrix = np.asarray(
+            geom.construct_csys(lm["canal_axis"], lm["anp_axis_normal"])
+        )
+        self._update_landmark_data()
+        self.mesh = self._mesh_ct.copy().apply_transform(self._tfrm.matrix)
+        self.transform = self._tfrm.matrix
+        return self.transform
+
+    def apply_csys_obb(self) -> np.ndarray:
+        self._tfrm.matrix = np.asarray(self._spec.obb_transform)
+        self._update_landmark_data()
+        self.mesh = self._mesh_ct.copy().apply_transform(self._tfrm.matrix)
+        self.transform = self._tfrm.matrix
+        return self.transform
+
+    def apply_csys_ct(self) -> np.ndarray:
+        self._tfrm.reset()
+        self._update_landmark_data()
+        self.mesh = self._mesh_ct.copy()
+        self.transform = self._tfrm.matrix
+        return self.transform
+
+    def apply_csys_custom(self, transform, from_ct=True) -> np.ndarray:
+        if from_ct:
+            self._tfrm.matrix = transform
+            self._update_landmark_data()
+            self.mesh = self._mesh_ct.copy().apply_transform(self._tfrm.matrix)
+        else:
+            self._tfrm.matrix = np.dot(transform, self._tfrm.matrix)
+            self._update_landmark_data()
+            self.mesh = self.mesh.apply_transform(self._tfrm.matrix)
+        self.transform = self._tfrm.matrix
+        return self.transform
+
+    def apply_translation(self, translation) -> np.ndarray:
+        t = np.asarray(geom.translate_transform(np.asarray(translation)))
+        self._tfrm.matrix = np.dot(t, self._tfrm.matrix)
+        self._update_landmark_data()
+        self.mesh = self.mesh.apply_transform(self._tfrm.matrix)
+        self.transform = self._tfrm.matrix
+        return self.transform
+
+
+class Humerus(ProximalHumerus):
+    """Full-humerus facade (reference bone.py:109-157)."""
+
+    _proximal = False
+
+    def __init__(self, stl_file, config: cfg_mod.PipelineConfig = cfg_mod.DEFAULT_CONFIG):
+        super().__init__(stl_file, config)
+        # published API spelling preserved (reference bone.py:129)
+        self.trans_epiconylar = TransEpicondylar(
+            self, "Transverse Epicondylar Axis"
+        )
+
+    def retroversion(self) -> float:
+        return self._landmarks()["retroversion"]
+
+    def apply_csys_canal_transepiconylar(self) -> np.ndarray:
+        lm = self._landmarks()
+        self.canal.axis()
+        self.trans_epiconylar.axis()
+        self._tfrm.matrix = np.asarray(
+            geom.construct_csys(lm["canal_axis"], lm["te_axis"])
+        )
+        self._update_landmark_data()
+        self.mesh = self._mesh_ct.copy().apply_transform(self._tfrm.matrix)
+        self.transform = self._tfrm.matrix
+        return self.transform

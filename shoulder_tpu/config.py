@@ -103,3 +103,26 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def tiny_config(max_faces: int = 8192, max_verts: int = 6144) -> PipelineConfig:
+    """A reduced-resolution config for CI and multi-chip dryruns.
+
+    Keeps every pipeline stage and cutoff semantics but shrinks slice
+    counts, contour resolution, and padding so the full program compiles
+    and runs quickly on a virtual CPU mesh.  NOT for production parity —
+    the ML-facing resolutions (600x512 proximal) are load-bearing for the
+    reference models (slice.py:236-237).
+    """
+    return dataclasses.replace(
+        DEFAULT_CONFIG,
+        full=SliceSetConfig(zslice_num=64, interp_num=64),
+        proximal=SliceSetConfig(zslice_num=96, interp_num=128),
+        distal=SliceSetConfig(zslice_num=48, interp_num=96),
+        mrr_coarse_angles=64,
+        mrr_fine_angles=9,
+        max_faces=max_faces,
+        max_verts=max_verts,
+        max_chain=512,
+        sphere_seg_iters=6,
+    )

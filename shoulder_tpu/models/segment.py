@@ -1,0 +1,105 @@
+"""Articular-surface segmentation over the 512x512 polar-radius image.
+
+The reference segments the humeral-head articular surface with an ONNX
+UNet-CRF over a polar radius image (reference anatomic_neck.py:62-85).  The
+UNet weights are absent from the reference snapshot (SURVEY.md §2.2), so
+this module provides:
+
+  * `sphere_segment` — a classical, TPU-friendly robust-sphere segmenter:
+    the humeral head is near-spherical (the same assumption behind the
+    reference's radius-of-curvature metric, bone_props.py:118-148), so the
+    articular surface is the set of surface points within a tolerance of a
+    robustly-fit sphere.  Iteratively-reweighted algebraic sphere fits ->
+    pure jnp.linalg, vmappable.
+  * the Flax UNet lives in shoulder_tpu.models.unet and can be swapped in
+    via PipelineConfig once trained (shoulder_tpu/models/unet.py).
+
+Both produce a float mask (rows, cols) in {0,1} with the reference's
+mask>0 convention.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _longest_cyclic_run_per_row(mask):
+    """Keep only the longest contiguous cyclic run of True in each row."""
+    n = mask.shape[-1]
+
+    def one_row(m):
+        first_false = jnp.argmin(m)  # 0 if all true
+        idx = (jnp.arange(n) + first_false) % n
+        r = m[idx]
+        starts = r & ~jnp.roll(r, 1)
+        starts = starts.at[0].set(r[0])
+        rid = jnp.where(r, jnp.cumsum(starts) - 1, -1)
+        counts = jnp.zeros(n + 1, dtype=jnp.int32).at[
+            jnp.where(rid >= 0, rid, n)
+        ].add(1)
+        best = jnp.argmax(counts[:n])
+        keep = rid == best
+        out = jnp.zeros(n, dtype=bool).at[idx].set(keep)
+        return out & m
+
+    return jax.vmap(one_row)(mask)
+
+
+def sphere_segment(
+    points,
+    iters: int = 12,
+    tol_mm: float = 2.0,
+    init_top_rows: float = 0.3,
+):
+    """Segment the articular surface by robust sphere consensus.
+
+    Args:
+      points: (R, C, 3) surface points in the OBB frame; row 0 is the most
+        proximal slice (top of the head).
+      iters: IRLS iterations.
+      tol_mm: inlier tolerance in mm.
+      init_top_rows: initial inlier band as a fraction of rows from the top
+        (the top of the head is articular by construction).
+
+    Returns (mask (R, C) float {0,1}, radius, center, mean_resid).
+    """
+    r, c = points.shape[0], points.shape[1]
+    pts = points.reshape(-1, 3)
+    row_of = jnp.repeat(jnp.arange(r), c)
+    w = (row_of < int(init_top_rows * r)).astype(pts.dtype)
+
+    def fit(w):
+        # mean-center for f32 conditioning (see fits.fit_sphere)
+        mean = jnp.sum(pts * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1)
+        q = pts - mean
+        a = jnp.concatenate(
+            [2.0 * q, jnp.ones((q.shape[0], 1), q.dtype)], axis=1
+        )
+        f = jnp.sum(q**2, axis=1)
+        aw = a * w[:, None]
+        # normal equations (4x4) are far cheaper than lstsq on 262k rows
+        ata = aw.T @ a
+        atf = aw.T @ f
+        sol = jnp.linalg.solve(ata + 1e-6 * jnp.eye(4), atf)
+        center = sol[:3] + mean
+        radius = jnp.sqrt(jnp.maximum(sol[3] + jnp.sum(sol[:3] ** 2), 1e-9))
+        return radius, center
+
+    def body(w, _):
+        radius, center = fit(w)
+        resid = jnp.abs(jnp.linalg.norm(pts - center, axis=1) - radius)
+        w_new = (resid < tol_mm).astype(pts.dtype)
+        # never collapse to an empty consensus
+        w_new = jnp.where(jnp.sum(w_new) < 32, w, w_new)
+        return w_new, None
+
+    w, _ = jax.lax.scan(body, w, None, length=iters)
+    radius, center = fit(w)
+    resid = jnp.abs(jnp.linalg.norm(pts - center, axis=1) - radius)
+    raw = (resid < tol_mm).reshape(r, c)
+    mask = _longest_cyclic_run_per_row(raw)
+    mean_resid = jnp.sum(jnp.where(mask.reshape(-1), resid, 0.0)) / jnp.maximum(
+        jnp.sum(mask), 1
+    )
+    return mask.astype(points.dtype), radius, center, mean_resid

@@ -224,6 +224,49 @@ def slice_stack(
     return SliceStack(contours, centroids, areas, total_areas, zs)
 
 
+def plane_section_points(verts, faces, origin, normal):
+    """All intersection points of an arbitrarily-oriented plane with a mesh.
+
+    Returns (points (F,3), crossed (F,)): one 3D point per crossed face (the
+    oriented segment start), unordered — the equivalent of the vertex set of
+    trimesh's section used by anatomic-neck plane_points
+    (reference anatomic_neck.py:160-165).
+    """
+    n = jnp.asarray(normal)
+    n = n / jnp.linalg.norm(n)
+    d = verts @ n - jnp.asarray(origin) @ n
+    d = jnp.where(d == 0.0, 1e-7, d)
+    fd = d[faces]
+    pos = fd > 0.0
+    cross_edge = pos != jnp.roll(pos, -1, axis=1)
+    crossed = jnp.sum(cross_edge, axis=1) == 2
+
+    fv = verts[faces]                       # (F,3,3)
+    fv_next = jnp.roll(fv, -1, axis=1)      # slot k edge: (v_k, v_{k+1})
+    d_next = jnp.roll(fd, -1, axis=1)
+    denom = fd - d_next
+    denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    t = (fd / denom)[..., None]
+    p = fv + t * (fv_next - fv)             # (F,3,3) per-slot points
+
+    slot_a = jnp.argmax(cross_edge, axis=1)
+    rows = jnp.arange(faces.shape[0])
+    points = p[rows, slot_a]
+    return points, crossed
+
+
+def compact_points(points, mask, out_n: int):
+    """Pack masked rows to the front, fixed output size.
+
+    Returns (packed (out_n, D), count).  Rows beyond `count` are zeros.
+    """
+    order = jnp.argsort(~mask, stable=True)[:out_n]
+    packed = points[order]
+    keep = mask[order]
+    packed = jnp.where(keep[:, None], packed, 0.0)
+    return packed, jnp.minimum(jnp.sum(mask), out_n)
+
+
 @functools.partial(jax.jit, static_argnames=("max_chain", "select"))
 def slice_raw(
     verts, faces, neighbors, z, max_chain: int = 2048, select: str = "largest"

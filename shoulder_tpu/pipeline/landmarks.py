@@ -1,0 +1,580 @@
+"""The staged landmark pipeline: one jitted function per bone, vmappable.
+
+This is the TPU-native re-architecture of the reference's lazy object web
+(SURVEY.md §7 design stance): a pure function over fixed-shape tensors that
+computes every landmark and metric in one traced program.  The stateful
+`Humerus` facade (shoulder_tpu.bone) reproduces the reference API on top.
+
+Stages (reference call stack SURVEY.md §3.2):
+  A. full-bone contour stack  (slice.py:209-224 semantics)
+  B. surgical neck            (surgical_neck.py:22-56)
+  C. proximal contour stack   (slice.py:227-253)
+  D. canal axis               (canal.py:19-85)
+  E. bicipital groove         (bicipital_groove.py:26-265)
+  F. anatomic neck            (anatomic_neck.py:31-236)
+  G. transepicondylar axis    (epicondyle.py:29-101)  [full bones only]
+  H. clinical metrics         (bone_props.py:12-148)
+
+All landmark outputs are cached in the CT frame, exactly like the
+reference's `_*_ct` convention (canal.py:16-17 etc.).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from shoulder_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from shoulder_tpu.models import segment
+from shoulder_tpu.models.forest import ForestParams, predict_proba
+from shoulder_tpu.ops import rays, rect
+from shoulder_tpu.ops import signal as sig
+from shoulder_tpu.ops import slicing
+from shoulder_tpu.utils import fits, geometry as geom
+
+
+class BoneTensors(NamedTuple):
+    """Fixed-shape per-bone tensors (batch by stacking, shard over bones)."""
+
+    verts: jnp.ndarray          # (V,3) f32, CT frame, padded
+    faces: jnp.ndarray          # (F,3) i32, padded with [0,0,0]
+    neighbors: jnp.ndarray      # (F,3) i32
+    obb_transform: jnp.ndarray  # (4,4) f32 CT -> OBB
+    z_min: jnp.ndarray          # () OBB-frame bounds
+    z_max: jnp.ndarray
+    z_length: jnp.ndarray
+    cutoff_lo: jnp.ndarray      # canal window (ProxObb) or default
+    cutoff_hi: jnp.ndarray
+
+
+class Landmarks(NamedTuple):
+    """Everything the API surfaces, in the CT frame, masked fixed shapes."""
+
+    canal_points: jnp.ndarray       # (200,3)
+    canal_mask: jnp.ndarray         # (200,) bool
+    canal_axis: jnp.ndarray         # (2,3)
+    neck_z: jnp.ndarray             # () OBB frame
+    sn_points: jnp.ndarray          # (max_chain,3)
+    sn_n: jnp.ndarray               # ()
+    bg_points: jnp.ndarray          # (S_g,3)
+    bg_axis: jnp.ndarray            # (2,3)
+    bg_theta: jnp.ndarray           # ()
+    anp_points: jnp.ndarray         # (2048,3) neck-rim points
+    anp_n: jnp.ndarray
+    anp_plane_point: jnp.ndarray    # (3,)
+    anp_plane_normal: jnp.ndarray   # (3,)
+    anp_axis_normal: jnp.ndarray    # (2,3)
+    anp_axis_central: jnp.ndarray   # (2,3)
+    te_axis: jnp.ndarray            # (2,3) (zeros for proximal-only)
+    side_is_left: jnp.ndarray       # () bool
+    retroversion: jnp.ndarray       # () deg (nan for proximal-only)
+    neckshaft: jnp.ndarray          # () deg
+    radius_curvature: jnp.ndarray   # () mm
+    # QC / observability (SURVEY.md §5)
+    qc_rf_pos_frac: jnp.ndarray
+    qc_mask_area_frac: jnp.ndarray
+    qc_sphere_resid: jnp.ndarray
+    qc_canal_fit_rms: jnp.ndarray
+
+
+def _cutoff_bounds(n: int, cutoff):
+    """Reference Slices._cutoff index semantics (slice.py:157-164)."""
+    return int((1 - cutoff[1]) * n), int((1 - cutoff[0]) * n)
+
+
+def _to_ct(pts, obb_transform):
+    return geom.transform_pts(pts, geom.inv_transform(obb_transform))
+
+
+# --------------------------------------------------------------------- D
+def _canal(stack: slicing.SliceStack, bone: BoneTensors, proximal: bool,
+           cfg: PipelineConfig):
+    n = stack.zs.shape[0]
+    idx = jnp.arange(n)
+    if proximal:
+        # dynamic window from the ingest-time OBB area scan (canal.py:32-37)
+        start = jnp.floor((1.0 - bone.cutoff_hi) * n)
+        end = jnp.floor((1.0 - bone.cutoff_lo) * n)
+        mean_cut = 0.5 * (bone.cutoff_lo + bone.cutoff_hi)
+    else:
+        s, e = _cutoff_bounds(n, cfg.canal_cutoff)
+        start, end = jnp.asarray(s), jnp.asarray(e)
+        mean_cut = jnp.asarray(
+            0.5 * (cfg.canal_cutoff[0] + cfg.canal_cutoff[1]), jnp.float32
+        )
+    mask = (idx >= start) & (idx < end)
+
+    pts = jnp.concatenate([stack.centroids, stack.zs[:, None]], axis=1)
+    w = mask.astype(pts.dtype)
+    center, direction = fits.fit_line(pts, w)
+    direction = jnp.where(direction[2] < 0, -direction, direction)
+
+    half = bone.z_length * mean_cut / 2.0
+    axis_obb = jnp.stack([center + direction * half, center - direction * half])
+
+    # rms line-fit residual for QC
+    d = pts - center
+    perp = d - jnp.outer(d @ direction, direction)
+    rms = jnp.sqrt(
+        jnp.sum(jnp.sum(perp**2, axis=1) * w) / jnp.maximum(jnp.sum(w), 1)
+    )
+
+    points_ct = _to_ct(pts, bone.obb_transform)
+    axis_ct = _to_ct(axis_obb, bone.obb_transform)
+    return points_ct, mask, axis_ct, axis_obb, rms
+
+
+# --------------------------------------------------------------------- B
+def _surgical_neck(stack, bone: BoneTensors, proximal: bool,
+                   cfg: PipelineConfig, max_chain: int):
+    n = stack.zs.shape[0]
+    cut = (cfg.surgical_neck_cutoff_prox if proximal
+           else cfg.surgical_neck_cutoff_full)
+    s, e = _cutoff_bounds(n, cut)
+    areas = stack.areas[s:e]
+    zs = stack.zs[s:e]
+    t = sig.rbf_changepoint_1bkp(areas, min_size=cfg.cpd_min_size)
+    neck_z = zs[t]
+
+    raw = _raw_loop_at(bone, neck_z, max_chain, select="central")
+    pts3 = jnp.concatenate(
+        [raw.points, jnp.full((max_chain, 1), neck_z, raw.points.dtype)],
+        axis=1,
+    )
+    pts_ct = _to_ct(pts3, bone.obb_transform)
+    valid = jnp.arange(max_chain) < raw.n
+    pts_ct = jnp.where(valid[:, None], pts_ct, 0.0)
+    return neck_z, pts_ct, raw.n
+
+
+def _raw_loop_at(bone: BoneTensors, z, max_chain, select):
+    geom_f = slicing.face_geom(
+        geom.transform_pts(bone.verts, bone.obb_transform),
+        bone.faces, bone.neighbors,
+    )
+    F = bone.faces.shape[0]
+    crossed, start, end, succ = slicing._crossing_segments(geom_f, z)
+    lab = slicing._label_loops(crossed, succ)
+    area, centroid, count, mean_pt = slicing._loop_stats(
+        crossed, start, end, lab, F
+    )
+    if select == "central":
+        score = jnp.abs(mean_pt[:F, 0]) + jnp.abs(mean_pt[:F, 1])
+        score = jnp.where(count[:F] >= 3, score, jnp.inf)
+        best = jnp.argmin(score)
+    else:
+        best = jnp.argmax(area[:F])
+    n_best = count[best]
+    points = slicing._order_loop(crossed, start, succ, lab, best, n_best,
+                                 max_chain)
+    return slicing.RawLoop(points, n_best, area[best], centroid[best])
+
+
+# ---------------------------------------------------------------- polar
+def _to_polar_start(contour, center):
+    """theta/r of a contour, rolled so argmin(theta) leads.
+
+    Reference _cart2pol_no_sort + roll-to-min (slice.py:102-147).  Returns
+    (theta (N,), r (N,)).
+    """
+    d = contour - center
+    theta = jnp.arctan2(d[:, 1], d[:, 0])
+    r = jnp.linalg.norm(d, axis=1)
+    shift = jnp.argmin(theta)
+    return jnp.roll(theta, -shift), jnp.roll(r, -shift)
+
+
+# --------------------------------------------------------------------- E
+def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
+            rf: ForestParams, cfg: PipelineConfig):
+    n = prox.zs.shape[0]
+    interp = cfg.proximal.interp_num
+    s, e = _cutoff_bounds(n, cfg.groove_cutoff)
+    contours = prox.contours[s:e]          # (S,512,2)
+    cents = prox.centroids[s:e]
+    zs = prox.zs[s:e]
+    S = e - s
+    K = cfg.groove_max_peaks               # 7
+
+    theta, r = jax.vmap(_to_polar_start)(contours, cents)   # (S,512) each
+    r0 = r - jnp.mean(r, axis=1, keepdims=True)             # stationary
+
+    # per-slice peak detection on the negated, smoothed, min-rolled radius
+    # (bicipital_groove.py:102-128)
+    def peaks_one(r0_row):
+        radius = sig.savgol_filter(-r0_row, cfg.groove_savgol_window,
+                                   cfg.groove_savgol_polyorder)
+        rmin = jnp.argmin(radius)
+        rolled = jnp.roll(radius, -rmin)
+        p = sig.find_peaks(
+            rolled, cfg.groove_peak_height, cfg.groove_peak_prominence,
+            cfg.groove_peak_width, max_peaks=cfg.max_peaks_per_slice,
+        )
+        idx = (p["idx"] + rmin) % interp
+        valid = p["valid"]
+        # keep top K by prominence (find_peaks already sorts by prominence)
+        keep = jnp.arange(cfg.max_peaks_per_slice) < K
+        return (
+            idx[:K], valid[:K] & keep[:K], p["prominences"][:K],
+            p["widths"][:K], p["width_heights"][:K],
+            jnp.minimum(p["n_peaks"], K),
+        )
+
+    idx, valid, prom, widths, whs, n_pk = jax.vmap(peaks_one)(r0)
+
+    take = jax.vmap(jnp.take)              # (S,512),(S,K) -> (S,K)
+    pk_theta = take(theta, idx)
+    pk_radius = take(r, idx)               # original radius incl. mean
+
+    # nearest / next-nearest wrapped angular gaps among a slice's peaks,
+    # excluding gaps that round to 0 at 2 decimals (bicipital_groove.py:39-65)
+    def near_feats(th_row, val_row, n_row):
+        d = th_row[:, None] - th_row[None, :]
+        gap = jnp.abs(jnp.arctan2(jnp.sin(d), jnp.cos(d)))
+        ok = val_row[:, None] & val_row[None, :]
+        ok = ok & (jnp.round(gap, 2) != 0.0)
+        g = jnp.where(ok, gap, jnp.inf)
+        g = jnp.sort(g, axis=1)
+        nearest = jnp.where(jnp.isfinite(g[:, 0]), g[:, 0], 0.0)
+        nextn = jnp.where(jnp.isfinite(g[:, 1]), g[:, 1], 0.0)
+        nearest = jnp.where(n_row <= 1, 0.0, nearest)
+        nextn = jnp.where(n_row <= 2, 0.0, nextn)
+        return nearest, nextn
+
+    pk_near, pk_next = jax.vmap(near_feats)(pk_theta, valid, n_pk)
+
+    # z minmax-scaled over the window (bicipital_groove.py:89)
+    z_scale = (zs - jnp.min(zs)) / (jnp.max(zs) - jnp.min(zs))
+    pk_z = jnp.broadcast_to(z_scale[:, None], (S, K))
+
+    # canal distance feature, preserving the reference's frame quirk:
+    # CT-frame canal direction scaled by the OBB z (bicipital_groove.py:67-81)
+    canal_u = geom.unit_vector(canal_axis_ct[0], canal_axis_ct[1])
+    canal_xy = canal_u[:2][None, None, :] * zs[:, None, None]    # (S,1,2)
+    pk_xy = jnp.stack(
+        [pk_radius * jnp.cos(pk_theta), pk_radius * jnp.sin(pk_theta)],
+        axis=-1,
+    )
+    pk_canal_dist = jnp.linalg.norm(pk_xy - canal_xy, axis=-1)
+
+    pk_num = jnp.broadcast_to((n_pk / K)[:, None], (S, K)).astype(jnp.float32)
+
+    feats = jnp.stack(
+        [pk_radius, pk_near, pk_next, pk_z, prom, widths, whs,
+         pk_canal_dist, pk_num],
+        axis=-1,
+    ).reshape(S * K, 9)
+    row_valid = valid.reshape(S * K)
+
+    # per-bone StandardScaler over valid rows (bicipital_groove.py:156)
+    w = row_valid.astype(jnp.float32)[:, None]
+    mean = jnp.sum(feats * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    var = jnp.sum(w * (feats - mean) ** 2, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    x = (feats - mean) / jnp.sqrt(jnp.maximum(var, 1e-12))
+    x = jnp.where(w > 0, x, 0.0)
+
+    proba = predict_proba(rf, x)[:, 1]
+
+    # linear-kernel KDE over positive peak angles -> global groove angle
+    pos = row_valid & (proba > cfg.groove_rf_threshold)
+    kde_w = pos.astype(jnp.float32)
+    # degrade gracefully if the RF finds nothing (reference would crash)
+    kde_w = jnp.where(jnp.sum(kde_w) > 0, kde_w,
+                      row_valid.astype(jnp.float32) * proba)
+    grid = jnp.linspace(-jnp.pi, jnp.pi, cfg.groove_kde_bins)
+    bg_theta, _ = sig.kde_linear_argmax(
+        pk_theta.reshape(S * K), kde_w, grid
+    )
+
+    # per-slice windowed argmin around bg_theta with cyclic wrap
+    # (bicipital_groove.py:192-230)
+    ivar = int(round(cfg.groove_deg_window / (360.0 / interp)))
+    ivar = max(ivar, 1)
+
+    def local_min(th_row, r_row, r0_row):
+        esti = jnp.searchsorted(th_row, bg_theta, side="left")
+        esti = jnp.minimum(esti, interp - 1)
+        win = (esti - ivar + jnp.arange(2 * ivar)) % interp
+        off = jnp.argmin(r0_row[win])
+        j = (esti - ivar + off) % interp
+        return jnp.stack([r_row[j] * jnp.cos(th_row[j]),
+                          r_row[j] * jnp.sin(th_row[j])])
+
+    bg_xy = jax.vmap(local_min)(theta, r, r0)
+    bg_xyz = jnp.concatenate([bg_xy + cents, zs[:, None]], axis=1)
+
+    # groove axis: unsigned line fit spanning the points' z extent
+    # (bicipital_groove.py:244-265)
+    center, direction = fits.fit_line(bg_xyz)
+    z_dist = jnp.max(bg_xyz[:, 2]) - jnp.min(bg_xyz[:, 2])
+    axis_obb = jnp.stack([
+        center + direction * z_dist / 2.0,
+        center - direction * z_dist / 2.0,
+    ])
+
+    bg_points_ct = _to_ct(bg_xyz, bone.obb_transform)
+    bg_axis_ct = _to_ct(axis_obb, bone.obb_transform)
+    rf_pos_frac = jnp.sum(pos) / jnp.maximum(jnp.sum(row_valid), 1)
+    return bg_points_ct, bg_axis_ct, bg_theta, rf_pos_frac
+
+
+# --------------------------------------------------------------------- F
+def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
+                   cfg: PipelineConfig, out_n: int = 2048):
+    n = prox.zs.shape[0]
+    interp = cfg.proximal.interp_num
+    s, e = _cutoff_bounds(n, cfg.anp_cutoff)
+    contours = prox.contours[s:e]          # (R,512,2), R = 512
+    zs = prox.zs[s:e]
+    R = e - s
+
+    zero = jnp.zeros(2, contours.dtype)
+
+    def polar_row(contour):
+        th, r = _to_polar_start(contour, zero)  # uncentered (itr_start)
+        # even-theta resample from th[0] to th[-2] over th[:-1]
+        # (anatomic_neck.py:43-44)
+        t_samp = jnp.linspace(th[0], th[-2], interp)
+        r_i = jnp.interp(t_samp, th[:-1], r[:-1])
+        # roll so the groove angle leads (anatomic_neck.py:48-49)
+        shift = jnp.argmin(jnp.abs(t_samp - bg_theta))
+        return jnp.roll(t_samp, -shift), jnp.roll(r_i, -shift)
+
+    t_im, r_im = jax.vmap(polar_row)(contours)   # (R, 512) each
+
+    # MinMaxScaler over the whole image (anatomic_neck.py:56-58)
+    image = (r_im - jnp.min(r_im)) / (jnp.max(r_im) - jnp.min(r_im))
+
+    # 3D surface points per pixel
+    x = r_im * jnp.cos(t_im)
+    y = r_im * jnp.sin(t_im)
+    z = jnp.broadcast_to(zs[:, None], (R, interp))
+    pts = jnp.stack([x, y, z], axis=-1)          # (R,512,3)
+
+    mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(
+        pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
+        cfg.sphere_seg_init_top_rows,
+    )
+    maski = mask.astype(jnp.int32)
+    edge = jnp.abs(jnp.diff(maski, prepend=0, axis=-1)) > 0   # (R,512)
+
+    edge_flat = edge.reshape(-1)
+    pts_flat = pts.reshape(-1, 3)
+    anp_pts, anp_n = slicing.compact_points(pts_flat, edge_flat, out_n)
+    anp_pts_ct = _to_ct(anp_pts, bone.obb_transform)
+    anp_pts_ct = jnp.where(
+        (jnp.arange(out_n) < anp_n)[:, None], anp_pts_ct, 0.0
+    )
+
+    # plane fit on the rim points, normal up (anatomic_neck.py:128-132)
+    ew = edge_flat.astype(jnp.float32)
+    p_pt, p_n = fits.fit_plane(pts_flat, ew)
+    p_n = jnp.where(p_n[2] < 0, -p_n, p_n)
+
+    # ellipse recenter in the plane frame (anatomic_neck.py:134-146)
+    to2d = geom.plane_transform(p_pt, p_n)
+    pts2d = geom.transform_pts(pts_flat, to2d)[:, :2]
+    ecenter, *_ = fits.fit_ellipse(pts2d, ew)
+    center3 = geom.transform_pts(
+        jnp.concatenate([ecenter, jnp.zeros(1)])[None, :],
+        geom.inv_transform(to2d),
+    )[0]
+
+    plane_pt_ct, plane_n_ct = geom.transform_plane(
+        center3, p_n, geom.inv_transform(bone.obb_transform)
+    )
+
+    # axis rays against the OBB-frame mesh (anatomic_neck.py:174-236)
+    verts_obb = geom.transform_pts(bone.verts, bone.obb_transform)
+    up, _, _ = rays.first_hit(verts_obb, bone.faces, center3, p_n)
+    dn, _, _ = rays.first_hit(verts_obb, bone.faces, center3, -p_n)
+    axis_normal_ct = _to_ct(jnp.stack([up, dn]), bone.obb_transform)
+
+    nc = p_n.at[2].set(0.0)
+    nc = nc / jnp.linalg.norm(nc)
+    up_c, _, _ = rays.first_hit(verts_obb, bone.faces, center3, nc)
+    dn_c, _, _ = rays.first_hit(verts_obb, bone.faces, center3, -nc)
+    axis_central_ct = _to_ct(jnp.stack([up_c, dn_c]), bone.obb_transform)
+
+    # radius of curvature: sphere fit over all articular points
+    # (bone_props.py:118-148)
+    rad, _cent = fits.fit_sphere(pts_flat, mask.reshape(-1))
+
+    mask_frac = jnp.mean(mask)
+    return (
+        anp_pts_ct, anp_n, plane_pt_ct, plane_n_ct,
+        axis_normal_ct, axis_central_ct,
+        center3, p_n,                 # OBB-frame plane for internal reuse
+        rad, mask_frac, sph_resid,
+    )
+
+
+# --------------------------------------------------------------------- G
+def _transepicondylar(distal: slicing.SliceStack, bone: BoneTensors,
+                      canal_axis_ct, axis_central_ct, cfg: PipelineConfig):
+    n = distal.zs.shape[0]
+    s, e = _cutoff_bounds(n, cfg.epicondyle_cutoff)
+    contours = distal.contours[s:e]
+    zs = distal.zs[s:e]
+
+    rects = jax.vmap(rect.min_rotated_rect)(contours)
+    k = jnp.argmax(rects.major_extent)
+    contour = contours[k]
+    z_sel = zs[k]
+    r_sel = rect.RotatedRect(
+        rects.center[k], rects.major_dir[k],
+        rects.major_extent[k], rects.minor_extent[k],
+    )
+
+    out, _ = rect.end_slab_mask(contour, r_sel, cfg.epicondyle_yscale)
+    rid = rect.cyclic_runs(out, cfg.epicondyle_max_fragments)
+    cents, counts, valid = rect.run_chord_centroids(
+        contour, rid, None, cfg.epicondyle_max_fragments
+    )
+    # the farthest-apart pair of fragment centroids (epicondyle.py:56-81)
+    d = jnp.linalg.norm(cents[:, None, :] - cents[None, :, :], axis=-1)
+    ok = valid[:, None] & valid[None, :]
+    d = jnp.where(ok, d, -jnp.inf)
+    flat = jnp.argmax(d)
+    i, j = flat // cfg.epicondyle_max_fragments, flat % cfg.epicondyle_max_fragments
+    end_pts = jnp.stack([cents[i], cents[j]])
+    end3 = jnp.concatenate(
+        [end_pts, jnp.full((2, 1), z_sel, end_pts.dtype)], axis=1
+    )
+    end_ct = _to_ct(end3, bone.obb_transform)
+
+    # orient medial first via the canal/head-central csys (epicondyle.py:89-96)
+    tfrm = geom.construct_csys(canal_axis_ct, axis_central_ct)
+    in_csys = geom.transform_pts(end_ct, tfrm)
+    flip = in_csys[1, 0] < in_csys[0, 0]
+    end_ct = jnp.where(flip, end_ct[::-1], end_ct)
+    return end_ct
+
+
+# --------------------------------------------------------------------- H
+def _metrics(canal_axis_ct, axis_normal_ct, axis_central_ct, te_axis_ct,
+             bg_points_ct, proximal: bool):
+    # side (bone_props.py:24-48)
+    tf_central = geom.construct_csys(canal_axis_ct, axis_central_ct)
+    bg_mean = jnp.mean(geom.transform_pts(bg_points_ct, tf_central), axis=0)
+    side_is_left = bg_mean[1] <= 0
+
+    # neckshaft (bone_props.py:93-111)
+    tf_ns = geom.construct_csys(canal_axis_ct, axis_normal_ct)
+    an = geom.transform_pts(axis_normal_ct, tf_ns)
+    anu = geom.unit_vector(an[0], an[1])
+    neckshaft = 180.0 - geom.unitxyz_to_spherical(anu)[2]
+
+    if proximal:
+        retro = jnp.float32(jnp.nan)
+    else:
+        # retroversion (bone_props.py:64-85)
+        tf_te = geom.construct_csys(canal_axis_ct, te_axis_ct)
+        an2 = geom.transform_pts(axis_normal_ct, tf_te)
+        an2u = geom.unit_vector(an2[0], an2[1])
+        an2u = an2u.at[0].multiply(-1.0)
+        theta = geom.unitxyz_to_spherical(an2u)[1]
+        retro = jnp.where(side_is_left, theta, -theta)
+    return side_is_left, retro, neckshaft
+
+
+@functools.partial(
+    jax.jit, static_argnames=("proximal", "cfg", "chunk")
+)
+def compute_landmarks(
+    bone: BoneTensors,
+    rf: ForestParams,
+    proximal: bool = False,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    chunk: int = 50,
+) -> Landmarks:
+    verts_obb = geom.transform_pts(bone.verts, bone.obb_transform)
+
+    # A: full stack (zs descending, slice.py:219-224)
+    zs_full = jnp.linspace(
+        cfg.z_inset * bone.z_max, cfg.z_inset * bone.z_min,
+        cfg.full.zslice_num,
+    )
+    full = slicing.slice_stack(
+        verts_obb, bone.faces, bone.neighbors, zs_full,
+        cfg.full.interp_num, cfg.max_chain, chunk,
+    )
+
+    # B: surgical neck
+    neck_z, sn_points, sn_n = _surgical_neck(
+        full, bone, proximal, cfg, cfg.max_chain
+    )
+
+    # C: proximal stack (head -> surgical neck, slice.py:248-253)
+    zs_prox = jnp.linspace(
+        cfg.z_inset * bone.z_max, neck_z, cfg.proximal.zslice_num
+    )
+    prox = slicing.slice_stack(
+        verts_obb, bone.faces, bone.neighbors, zs_prox,
+        cfg.proximal.interp_num, cfg.max_chain, chunk,
+    )
+
+    # D: canal
+    canal_pts, canal_mask, canal_axis, _canal_obb, canal_rms = _canal(
+        full, bone, proximal, cfg
+    )
+
+    # E: bicipital groove
+    bg_points, bg_axis, bg_theta, rf_pos_frac = _groove(
+        prox, bone, canal_axis, rf, cfg
+    )
+
+    # F: anatomic neck
+    (anp_pts, anp_n, plane_pt, plane_n, axis_normal, axis_central,
+     _plane_pt_obb, _plane_n_obb, radius, mask_frac, sph_resid,
+     ) = _anatomic_neck(prox, bone, bg_theta, cfg)
+
+    # G: transepicondylar (full bones only)
+    if proximal:
+        te_axis = jnp.zeros((2, 3), jnp.float32)
+    else:
+        zs_dist = jnp.linspace(
+            cfg.z_inset * bone.z_min, 0.0, cfg.distal.zslice_num
+        )
+        distal = slicing.slice_stack(
+            verts_obb, bone.faces, bone.neighbors, zs_dist,
+            cfg.distal.interp_num, cfg.max_chain, chunk,
+        )
+        te_axis = _transepicondylar(
+            distal, bone, canal_axis, axis_central, cfg
+        )
+
+    # H: metrics
+    side_is_left, retro, neckshaft = _metrics(
+        canal_axis, axis_normal, axis_central, te_axis, bg_points, proximal
+    )
+
+    return Landmarks(
+        canal_points=canal_pts,
+        canal_mask=canal_mask,
+        canal_axis=canal_axis,
+        neck_z=neck_z,
+        sn_points=sn_points,
+        sn_n=sn_n,
+        bg_points=bg_points,
+        bg_axis=bg_axis,
+        bg_theta=bg_theta,
+        anp_points=anp_pts,
+        anp_n=anp_n,
+        anp_plane_point=plane_pt,
+        anp_plane_normal=plane_n,
+        anp_axis_normal=axis_normal,
+        anp_axis_central=axis_central,
+        te_axis=te_axis,
+        side_is_left=side_is_left,
+        retroversion=retro,
+        neckshaft=neckshaft,
+        radius_curvature=radius,
+        qc_rf_pos_frac=rf_pos_frac,
+        qc_mask_area_frac=mask_frac,
+        qc_sphere_resid=sph_resid,
+        qc_canal_fit_rms=canal_rms,
+    )

@@ -67,7 +67,8 @@ def fit_circle(pts2d, w=None):
     """
     pts2d = jnp.asarray(pts2d)
     w = _weights(pts2d, w)
-    x, y = pts2d[:, 0], pts2d[:, 1]
+    mean = _weighted_mean(pts2d, w)
+    x, y = pts2d[:, 0] - mean[0], pts2d[:, 1] - mean[1]
     a = jnp.stack([x, y, jnp.ones_like(x)], axis=1) * w[:, None]
     b = (x**2 + y**2) * w
     sol, *_ = jnp.linalg.lstsq(a, b)
@@ -76,24 +77,31 @@ def fit_circle(pts2d, w=None):
     r = jnp.sqrt(sol[2] + cx**2 + cy**2)
     dist = jnp.sqrt((x - cx) ** 2 + (y - cy) ** 2)
     residu = jnp.sum(w * (dist - r) ** 2)
-    return cx, cy, r, residu
+    return cx + mean[0], cy + mean[1], r, residu
 
 
 def fit_sphere(pts, w=None):
     """Algebraic sphere fit: returns (radius, center).
 
     Same linear system as reference bone_props._spherefit
-    (bone_props.py:126-148): [2x 2y 2z 1] c = x^2+y^2+z^2.
+    (bone_props.py:126-148): [2x 2y 2z 1] c = x^2+y^2+z^2 — but solved on
+    mean-centered points: at bone-scale coordinates the uncentered system
+    loses the radius to float32 cancellation.
     """
     pts = jnp.asarray(pts)
     w = _weights(pts, w)
-    a = jnp.concatenate([2.0 * pts, jnp.ones((pts.shape[0], 1), pts.dtype)], axis=1)
-    f = jnp.sum(pts**2, axis=1)
-    a = a * w[:, None]
-    f = f * w
-    c, *_ = jnp.linalg.lstsq(a, f)
-    radius = jnp.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2 + c[3])
-    return radius, c[:3]
+    mean = _weighted_mean(pts, w)
+    q = pts - mean
+    a = jnp.concatenate([2.0 * q, jnp.ones((q.shape[0], 1), q.dtype)], axis=1)
+    f = jnp.sum(q**2, axis=1)
+    # centered normal equations: stable in f32 and much cheaper than an
+    # SVD-backed lstsq on hundreds of thousands of rows
+    aw = a * w[:, None]
+    ata = aw.T @ a
+    atf = aw.T @ f
+    c = jnp.linalg.solve(ata + 1e-6 * jnp.eye(4, dtype=a.dtype), atf)
+    radius = jnp.sqrt(jnp.maximum(c[0] ** 2 + c[1] ** 2 + c[2] ** 2 + c[3], 0.0))
+    return radius, c[:3] + mean
 
 
 def _eig3(m):

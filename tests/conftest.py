@@ -2,18 +2,26 @@ import os
 import sys
 from pathlib import Path
 
-# multi-device sharding tests run on a virtual 8-device CPU mesh
-# (force: the environment presets JAX_PLATFORMS=axon for the real chip)
+# Tests run on a virtual 8-device CPU mesh.  The container's sitecustomize
+# registers (and initializes) the axon TPU backend in every interpreter
+# before conftest runs, so env vars alone are too late — force the platform
+# switch through the config + backend-cache reset.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+
+import jax  # noqa: E402
+import jax.extend.backend as _jeb  # noqa: E402
+
+if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
+    jax.config.update("jax_platforms", "cpu")
+    _jeb.clear_backends()
+    jax.config.update("jax_num_cpu_devices", 8)
+    _jeb.clear_backends()
+assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import numpy as np
-import pytest
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 REFERENCE_BONES = Path("/root/reference/tests/test_bones")
 
