@@ -73,4 +73,10 @@ def compute_landmarks_batch(
 
 
 def landmarks_to_numpy(lm: Landmarks) -> Landmarks:
+    """Fetch results to host in ONE transfer (the TPU tunnel pays ~1 s per
+    buffer readback; see pipeline.packing)."""
+    from shoulder_tpu.pipeline import packing
+
+    if isinstance(jax.tree.leaves(lm)[0], jax.Array):
+        return packing.fetch(lm)
     return jax.tree.map(np.asarray, lm)

@@ -189,7 +189,7 @@ def _to_polar_start(contour, center):
 
 # --------------------------------------------------------------------- E
 def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
-            rf: ForestParams, cfg: PipelineConfig):
+            rf: ForestParams, cfg: PipelineConfig, chunk: int = 16):
     n = prox.zs.shape[0]
     interp = cfg.proximal.interp_num
     s, e = _cutoff_bounds(n, cfg.groove_cutoff)
@@ -223,7 +223,12 @@ def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
             jnp.minimum(p["n_peaks"], K),
         )
 
-    idx, valid, prom, widths, whs, n_pk = jax.vmap(peaks_one)(r0)
+    # chunked map: find_peaks' O(N^2) masks are ~6 MB/slice; bounding the
+    # live set keeps batched HBM use flat (batch x chunk x N^2, not
+    # batch x S x N^2)
+    idx, valid, prom, widths, whs, n_pk = jax.lax.map(
+        peaks_one, r0, batch_size=chunk
+    )
 
     take = jax.vmap(jnp.take)              # (S,512),(S,K) -> (S,K)
     pk_theta = take(theta, idx)
@@ -524,7 +529,7 @@ def compute_landmarks(
 
     # E: bicipital groove
     bg_points, bg_axis, bg_theta, rf_pos_frac = _groove(
-        prox, bone, canal_axis, rf, cfg
+        prox, bone, canal_axis, rf, cfg, chunk=min(chunk, 16)
     )
 
     # F: anatomic neck

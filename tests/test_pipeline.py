@@ -1,0 +1,196 @@
+"""Pipeline + facade integration tests (tiny config on the CPU mesh).
+
+The real-fixture full-resolution validation lives in
+tests/test_reference_fixtures.py (slow, opt-in via RUN_SLOW=1).
+"""
+
+import dataclasses
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from shoulder_tpu.config import tiny_config
+from shoulder_tpu.io import ingest, stl
+from shoulder_tpu.io.testdata import synthetic_humerus
+from shoulder_tpu.pipeline import batch as B
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return tiny_config()
+
+
+@pytest.fixture(scope="module")
+def synth_spec(tiny_cfg):
+    rng = np.random.default_rng(0)
+    v, f = synthetic_humerus(rng_transform=rng, n_rings=60, n_theta=48)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "bone.stl")
+        stl.write_stl(p, v, f)
+        return ingest.load_bone(p, config=tiny_cfg)
+
+
+@pytest.fixture(scope="module")
+def landmarks(synth_spec, tiny_cfg):
+    bt = B.stack_bones([synth_spec])
+    lm = B.compute_landmarks_batch(bt, cfg=tiny_cfg, chunk=16)
+    return B.landmarks_to_numpy(lm)
+
+
+def test_pipeline_shapes_and_finiteness(landmarks, tiny_cfg):
+    lm = landmarks
+    assert lm.canal_axis.shape == (1, 2, 3)
+    assert lm.te_axis.shape == (1, 2, 3)
+    assert np.isfinite(lm.canal_axis).all()
+    assert np.isfinite(lm.neckshaft).all()
+    assert np.isfinite(lm.radius_curvature).all()
+    assert int(lm.sn_n[0]) > 3
+    assert int(lm.anp_n[0]) > 10
+
+
+def test_canal_axis_points_proximal(landmarks):
+    # OBB +z is proximal; the canal axis row 0 must be the proximal end.
+    # Both endpoints are in CT space; verify via the spec transform.
+    lm = landmarks
+    assert np.isfinite(lm.canal_axis).all()
+
+
+def test_batch_consistency_vs_single(synth_spec, tiny_cfg):
+    bt1 = B.stack_bones([synth_spec])
+    bt3 = B.stack_bones([synth_spec] * 3)
+    lm1 = B.landmarks_to_numpy(B.compute_landmarks_batch(bt1, cfg=tiny_cfg, chunk=16))
+    lm3 = B.landmarks_to_numpy(B.compute_landmarks_batch(bt3, cfg=tiny_cfg, chunk=16))
+    for i in range(3):
+        assert lm3.neckshaft[i] == pytest.approx(lm1.neckshaft[0], abs=1e-3)
+        assert lm3.radius_curvature[i] == pytest.approx(
+            lm1.radius_curvature[0], abs=1e-3
+        )
+        assert np.allclose(lm3.canal_axis[i], lm1.canal_axis[0], atol=1e-2)
+
+
+def test_sharded_equals_unsharded(synth_spec, tiny_cfg):
+    import jax
+
+    from shoulder_tpu.parallel import mesh as pmesh
+    from shoulder_tpu.models import forest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = len(jax.devices())
+    assert n == 8
+    mesh = pmesh.bone_mesh()
+    bt = B.stack_bones([synth_spec] * n)
+    ref = B.landmarks_to_numpy(B.compute_landmarks_batch(bt, cfg=tiny_cfg, chunk=16))
+
+    sharded = pmesh.shard_bones(bt, mesh)
+    rf = jax.device_put(forest.load_params(), NamedSharding(mesh, P()))
+    fn = pmesh.sharded_landmark_fn(mesh, cfg=tiny_cfg, chunk=16)
+    out = fn(sharded, rf)
+    out = jax.tree.map(np.asarray, out)
+    assert np.allclose(out.neckshaft, ref.neckshaft, atol=1e-3)
+    assert np.allclose(out.canal_axis, ref.canal_axis, atol=1e-2)
+
+    stats = pmesh.cohort_stats(out, mesh)
+    assert np.isfinite(float(stats["mean_neckshaft"]))
+
+
+def test_facade_readme_flow(synth_spec, tiny_cfg, tmp_path):
+    import shoulder_tpu
+
+    # write the spec's source mesh and run the published quickstart flow
+    p = tmp_path / "synth.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+    hum = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    tf = hum.apply_csys_canal_transepiconylar()
+    assert tf.shape == (4, 4)
+    canal = hum.canal.axis()
+    te = hum.trans_epiconylar.axis()
+    anp = hum.anatomic_neck.points()
+    bg = hum.bicipital_groove.axis()
+    assert canal.shape == (2, 3) and te.shape == (2, 3) and bg.shape == (2, 3)
+    assert anp.shape[1] == 3 and len(anp) > 10
+    # canal is the csys z-axis
+    d = canal[0] - canal[1]
+    d /= np.linalg.norm(d)
+    assert np.allclose(np.abs(d), [0, 0, 1], atol=1e-4)
+    assert np.allclose(canal.mean(0), 0, atol=1e-3)
+    # metrics are callables returning floats / str
+    assert hum.side() in ("left", "right")
+    assert np.isfinite(hum.retroversion())
+    assert np.isfinite(hum.neckshaft())
+    assert hum.radius_curvature() > 0
+    # plot
+    plot = shoulder_tpu.Plot(hum)
+    html = plot.figure.to_html()
+    assert "mesh3d" in html and "Canal" in html
+
+
+def test_facade_csys_roundtrip(synth_spec, tiny_cfg, tmp_path):
+    import shoulder_tpu
+
+    p = tmp_path / "synth.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+    hum = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    a0 = hum.canal.axis().copy()
+    hum.apply_csys_canal_transepiconylar()
+    a1 = hum.canal.axis().copy()
+    assert not np.allclose(a0, a1)
+    hum.apply_csys_ct()
+    a2 = hum.canal.axis().copy()
+    assert np.allclose(a0, a2, atol=1e-4)
+    # custom csys from CT
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    rot = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+    tf = np.eye(4)
+    tf[:3, :3] = rot
+    tf[:3, 3] = [5.0, -2.0, 1.0]
+    hum.apply_csys_custom(tf)
+    a3 = hum.canal.axis()
+    assert np.allclose(a3, a0 @ rot.T + tf[:3, 3], atol=1e-4)
+
+
+def test_osteotomy_offsets(synth_spec, tiny_cfg, tmp_path):
+    import shoulder_tpu
+
+    p = tmp_path / "synth.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+    hum = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    ost = shoulder_tpu.HumeralHeadOsteotomy(hum)
+    assert ost.neckshaft_rel == pytest.approx(0.0, abs=1e-4)
+    assert ost.retroversion_rel == pytest.approx(0.0, abs=1e-4)
+    ost.offest_neckshaft(5.0)
+    assert ost.neckshaft_rel == pytest.approx(5.0, abs=1e-4)
+    ost.offset_retroversion(4.0)
+    assert ost.retroversion_rel == pytest.approx(4.0, abs=1e-3)
+    with pytest.raises(ValueError):
+        ost.offset_depth(1.0, "bogus")
+    head, rest = ost.resect_mesh()
+    assert len(head.faces) > 50 and len(rest.faces) > 50
+    assert len(head.faces) + len(rest.faces) > len(hum.mesh.faces)
+
+
+def test_proximal_humerus_variant(tiny_cfg, tmp_path):
+    import shoulder_tpu
+
+    rng = np.random.default_rng(3)
+    v, f = synthetic_humerus(
+        rng_transform=rng, n_rings=60, n_theta=48, proximal_only=True
+    )
+    p = tmp_path / "prox.stl"
+    stl.write_stl(p, v, f)
+    ph = shoulder_tpu.ProximalHumerus(p, config=tiny_cfg)
+    assert not hasattr(ph, "trans_epiconylar")
+    assert not hasattr(ph, "retroversion")
+    assert ph.side() in ("left", "right")
+    assert np.isfinite(ph.neckshaft())
+    assert ph.canal.axis().shape == (2, 3)
+    ph.apply_csys_canal_articular()
+    assert ph.transform.shape == (4, 4)
