@@ -54,12 +54,31 @@ def main():
             stl.write_stl(p, v, f)
             spec = ingest.load_bone(p)
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     bones = B.stack_bones([spec] * BATCH)
+    t0 = time.perf_counter()
     bones = jax.block_until_ready(jax.device_put(bones))
+    log(f"H2D upload {time.perf_counter() - t0:.1f}s")
 
     # compile + warmup
+    t0 = time.perf_counter()
     lm = B.compute_landmarks_batch(bones, chunk=50)
     jax.block_until_ready(lm)
+    log(f"compile+first run {time.perf_counter() - t0:.1f}s")
+
+    # warm the D2H data channel BEFORE timing: in the tunneled deployment
+    # the first device->host fetch after a large program pays a multi-minute
+    # one-time handshake; afterwards fetches are instant (measured: 379 s
+    # then 0 s).  This is tunnel setup, not compute.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    _ = np.asarray(
+        jax.jit(lambda l: jnp.nanmean(l.neckshaft))(lm)
+    )
+    log(f"D2H channel warm-up fetch {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(REPS):
@@ -67,11 +86,18 @@ def main():
         jax.block_until_ready(lm)
     dt = (time.perf_counter() - t0) / REPS
     bones_per_sec = BATCH / dt
+    log(f"exec {dt * 1e3:.1f} ms/batch of {BATCH}")
 
-    # single packed fetch: sanity-check outputs are anatomically sane
-    out = B.landmarks_to_numpy(lm)
-    ns = float(np.nanmean(out.neckshaft))
-    rad = float(np.nanmean(out.radius_curvature))
+    # sanity check via a tiny on-device reduction (channel already warm)
+    summary = np.asarray(
+        jax.jit(
+            lambda l: jnp.stack(
+                [jnp.nanmean(l.neckshaft), jnp.nanmean(l.radius_curvature)]
+            )
+        )(lm)
+    )
+    ns = float(summary[0])
+    rad = float(summary[1])
     sane = 110.0 < ns < 160.0 and 15.0 < rad < 35.0
     if not sane:
         print(

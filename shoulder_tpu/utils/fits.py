@@ -114,7 +114,6 @@ def _eig3(m):
     Exists because jnp.linalg.eig has no TPU lowering.
     """
     m = jnp.asarray(m)
-    cdtype = jnp.complex64 if m.dtype == jnp.float32 else jnp.complex128
     tr = jnp.trace(m)
     # sum of principal 2x2 minors
     m2 = (
@@ -126,17 +125,22 @@ def _eig3(m):
     # characteristic poly: l^3 - tr l^2 + m2 l - det; depress with l = t+tr/3
     p = m2 - tr**2 / 3.0
     q = -det + tr * m2 / 3.0 - 2.0 * tr**3 / 27.0
-    pc = p.astype(cdtype)
-    qc = q.astype(cdtype)
-    disc = jnp.sqrt(qc**2 / 4.0 + pc**3 / 27.0)
-    u3 = -qc / 2.0 + disc
-    # avoid the u == 0 branch singularity
-    u3 = jnp.where(jnp.abs(u3) < 1e-30, -qc / 2.0 - disc, u3)
-    u = u3 ** (1.0 / 3.0)
-    omega = jnp.exp(2j * jnp.pi / 3.0).astype(cdtype)
-    uk = jnp.stack([u, u * omega, u * omega**2])
-    t_roots = uk - pc / (3.0 * uk)
-    vals = jnp.real(t_roots) + tr / 3.0
+    # real-only Cardano (TPU has no reliable complex lowering):
+    disc = q**2 / 4.0 + p**3 / 27.0
+    # disc > 0: a single real root via real cube roots
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    cbrt = lambda x: jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+    t_single = cbrt(-q / 2.0 + sq) + cbrt(-q / 2.0 - sq)
+    # disc <= 0: three real roots via the trigonometric method
+    p_neg = jnp.minimum(p, -1e-30)
+    rho = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    arg = jnp.clip(3.0 * q / (p_neg * rho), -1.0, 1.0)
+    theta = jnp.arccos(arg)
+    ks = jnp.arange(3, dtype=m.dtype)
+    t_trig = rho * jnp.cos(theta / 3.0 - 2.0 * jnp.pi * ks / 3.0)
+    t_roots = jnp.where(disc > 0, jnp.full(3, t_single, m.dtype), t_trig)
+    vals = t_roots + tr / 3.0
+    vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
 
     def null_vec(lam):
         a = m - lam * jnp.eye(3, dtype=m.dtype)
@@ -185,6 +189,7 @@ def fit_ellipse(pts2d, w=None):
     # pick eigenvector with 4ac - b^2 > 0 (the ellipse-defining pair; it is
     # unique and real per Halir & Flusser)
     cond = 4.0 * vecs[0] * vecs[2] - vecs[1] ** 2
+    cond = jnp.where(jnp.isfinite(cond), cond, -jnp.inf)
     idx = jnp.argmax(cond)
     a1 = vecs[:, idx]
     a2 = t @ a1
