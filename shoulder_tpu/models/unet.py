@@ -1,0 +1,74 @@
+"""Flax UNet for articular-surface segmentation of polar-radius images.
+
+The reference ships an ONNX "UNet-CRF" consuming a (1,1,512,512) float32
+polar-radius image and emitting a logit mask thresholded at 0 (reference
+anatomic_neck.py:62-85).  Its weights are absent from the snapshot
+(SURVEY.md §2.2), so shoulder_tpu re-creates the component: same interface
+(512x512 normalized polar image in, >0 logit mask out), TPU-first
+implementation (NHWC, bf16 activations on the MXU, GroupNorm so batch=1
+inference is exact).
+
+Trained on procedurally generated humeri (models/unet_train.py); the
+classical sphere-consensus segmenter (models/segment.py) remains the
+default until a trained checkpoint is loaded.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBlock(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=min(8, self.features),
+                             dtype=jnp.float32)(x)
+            x = nn.gelu(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Encoder/decoder with skip connections over the (z, theta) image.
+
+    The theta axis is periodic (the image wraps at +-pi); periodic padding
+    is approximated by the training distribution rolling images randomly,
+    which the groove-anchored roll in the pipeline mirrors.
+    """
+
+    features: Sequence[int] = (16, 32, 64, 128)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 1) float32 in [0, 1]
+        x = x.astype(self.dtype)
+        skips = []
+        for f in self.features[:-1]:
+            x = ConvBlock(f, self.dtype)(x)
+            skips.append(x)
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = ConvBlock(self.features[-1], self.dtype)(x)
+        for f, skip in zip(reversed(self.features[:-1]), reversed(skips)):
+            b, h, w, c = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = nn.Conv(f, (2, 2), padding="SAME", dtype=self.dtype)(x)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ConvBlock(f, self.dtype)(x)
+        logits = nn.Conv(1, (1, 1), dtype=jnp.float32)(x)
+        return logits  # (B, H, W, 1); mask = logits > 0
+
+
+def segment_image(params, image):
+    """(H, W) normalized polar image -> (H, W) float mask via the UNet."""
+    model = UNet()
+    logits = model.apply(params, image[None, :, :, None])
+    return (logits[0, :, :, 0] > 0).astype(image.dtype)
