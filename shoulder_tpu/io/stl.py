@@ -122,10 +122,22 @@ def edge_face_adjacency(faces: np.ndarray):
 
 
 def load_indexed(path, warn_not_watertight: bool = True):
-    """Load an STL into (vertices, faces, neighbors, watertight)."""
-    tri = read_stl(path)
-    vertices, faces = weld(tri)
-    neighbors, watertight = edge_face_adjacency(faces)
+    """Load an STL into (vertices, faces, neighbors, watertight).
+
+    Uses the native C++ ingest kernel when built (bit-identical, ~10x
+    faster; tools/build_native.sh), falling back to the numpy path.
+    """
+    try:
+        from shoulder_tpu.io import native
+
+        if native.available():
+            vertices, faces, neighbors, watertight = native.load_indexed(path)
+        else:
+            raise RuntimeError
+    except (RuntimeError, OSError):
+        tri = read_stl(path)
+        vertices, faces = weld(tri)
+        neighbors, watertight = edge_face_adjacency(faces)
     if warn_not_watertight and not watertight:
         warnings.warn(f"{Path(path).stem} is not watertight!")
     return vertices, faces, neighbors, watertight

@@ -158,3 +158,19 @@ def test_ingest_full_bone(synthetic_bone):
     bot = v[v[:, 2] < 0.8 * v[:, 2].min()]
     # head is rounder: circle-fit residual smaller near the top
     assert top.shape[0] > 10 and bot.shape[0] > 10
+
+
+def test_native_ingest_matches_numpy():
+    from shoulder_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native ingest library not built")
+    p = reference_stl("humerus_right.stl")
+    tri = stl.read_stl(p)
+    v1, f1 = stl.weld(tri)
+    n1, w1 = stl.edge_face_adjacency(f1)
+    v2, f2, n2, w2 = native.load_indexed(p)
+    assert np.array_equal(v1, v2)
+    assert np.array_equal(f1, f2)
+    assert np.array_equal(n1, n2)
+    assert w1 == w2

@@ -1,0 +1,86 @@
+"""Full-resolution validation on the reference's shipped STL fixtures.
+
+Slow (~10 min on one CPU core): gated behind RUN_SLOW=1.  These are the
+golden anatomical checks the reference itself validates by eyeball
+(SURVEY.md §4): plausible clinical metrics, correct side detection, and
+rigid-flip invariance (humerus_left_flipped is the same bone rigidly
+flipped — the OBB head-end detection must make the pipeline invariant).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import reference_stl
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RUN_SLOW") != "1", reason="slow: set RUN_SLOW=1"
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_landmarks():
+    from shoulder_tpu.io import ingest
+    from shoulder_tpu.pipeline import batch as B
+
+    names = [
+        "humerus_left.stl",
+        "humerus_left_flipped.stl",
+        "humerus_right.stl",
+        "humerus_left_trab.stl",
+    ]
+    specs = [ingest.load_bone(reference_stl(n)) for n in names]
+    bt = B.stack_bones(specs)
+    lm = B.landmarks_to_numpy(B.compute_landmarks_batch(bt, chunk=50))
+    return dict(zip(names, range(len(names)))), lm
+
+
+def test_sides(fixture_landmarks):
+    idx, lm = fixture_landmarks
+    assert bool(lm.side_is_left[idx["humerus_left.stl"]])
+    assert bool(lm.side_is_left[idx["humerus_left_flipped.stl"]])
+    assert not bool(lm.side_is_left[idx["humerus_right.stl"]])
+    assert bool(lm.side_is_left[idx["humerus_left_trab.stl"]])
+
+
+def test_anatomical_ranges(fixture_landmarks):
+    idx, lm = fixture_landmarks
+    for name, i in idx.items():
+        assert 15.0 < lm.retroversion[i] < 45.0, name
+        assert 125.0 < lm.neckshaft[i] < 150.0, name
+        assert 18.0 < lm.radius_curvature[i] < 30.0, name
+
+
+def test_flip_invariance(fixture_landmarks):
+    idx, lm = fixture_landmarks
+    a = idx["humerus_left.stl"]
+    b = idx["humerus_left_flipped.stl"]
+    assert lm.retroversion[a] == pytest.approx(lm.retroversion[b], abs=0.5)
+    assert lm.neckshaft[a] == pytest.approx(lm.neckshaft[b], abs=0.5)
+    assert lm.radius_curvature[a] == pytest.approx(
+        lm.radius_curvature[b], abs=0.5
+    )
+
+
+def test_qc_ranges(fixture_landmarks):
+    idx, lm = fixture_landmarks
+    for name, i in idx.items():
+        assert 0.01 < lm.qc_rf_pos_frac[i] < 0.6, name
+        assert 0.2 < lm.qc_mask_area_frac[i] < 0.85, name
+        assert lm.qc_sphere_resid[i] < 1.5, name
+        assert lm.qc_canal_fit_rms[i] < 2.0, name
+
+
+def test_canal_te_geometry(fixture_landmarks):
+    idx, lm = fixture_landmarks
+    i = idx["humerus_left.stl"]
+    canal_len = np.linalg.norm(lm.canal_axis[i, 0] - lm.canal_axis[i, 1])
+    te_len = np.linalg.norm(lm.te_axis[i, 0] - lm.te_axis[i, 1])
+    assert 80.0 < canal_len < 220.0       # mid-shaft window length
+    assert 35.0 < te_len < 90.0           # epicondylar width
+    # canal and TE axes are roughly perpendicular (75-105 deg)
+    c = lm.canal_axis[i, 0] - lm.canal_axis[i, 1]
+    t = lm.te_axis[i, 0] - lm.te_axis[i, 1]
+    cosang = abs(np.dot(c, t) / (np.linalg.norm(c) * np.linalg.norm(t)))
+    assert cosang < 0.35
