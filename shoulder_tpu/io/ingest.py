@@ -94,7 +94,23 @@ def load_bone(
 ) -> BoneSpec:
     path = Path(path)
     verts_ct, faces, neighbors, watertight = stl.load_indexed(path)
+    return spec_from_arrays(
+        path.stem, verts_ct, faces, neighbors, watertight,
+        proximal=proximal, config=config,
+    )
 
+
+def spec_from_arrays(
+    name: str,
+    verts_ct,
+    faces,
+    neighbors,
+    watertight: bool,
+    proximal: bool = False,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> BoneSpec:
+    """Build a BoneSpec from an already-indexed mesh (STL path, CT surface
+    extraction, or any in-memory mesh)."""
     to_obb, extents = obb_host.oriented_bounds(verts_ct)
     verts = verts_ct @ to_obb[:3, :3].T + to_obb[:3, 3]
     z_min, z_max = float(verts[:, 2].min()), float(verts[:, 2].max())
@@ -140,12 +156,12 @@ def load_bone(
 
     if faces.shape[0] > config.max_faces or verts_ct.shape[0] > config.max_verts:
         raise ValueError(
-            f"{path.stem}: mesh exceeds configured padding "
+            f"{name}: mesh exceeds configured padding "
             f"({faces.shape[0]} faces / {verts_ct.shape[0]} verts)"
         )
 
     return BoneSpec(
-        name=path.stem,
+        name=name,
         vertices=_pad(verts_ct.astype(np.float32), config.max_verts, 0.0),
         faces=_pad(faces.astype(np.int32), config.max_faces, 0),
         neighbors=_pad(neighbors.astype(np.int32), config.max_faces, -1),
