@@ -78,9 +78,11 @@ class PipelineConfig:
     groove_kde_bandwidth: float = 1.0     # sklearn KernelDensity default
 
     # --- anatomic neck -----------------------------------------------------
-    # classical (sphere) articular segmenter parameters (shoulder_tpu design;
-    # replaces the reference's UNet whose weights are absent from the
-    # snapshot, see SURVEY.md §2.2)
+    # articular segmenter: "sphere" (robust classical consensus, default) or
+    # "unet" (Flax UNet; requires seg_params passed to compute_landmarks).
+    # Replaces the reference's UNet whose weights are absent from the
+    # snapshot, see SURVEY.md §2.2.
+    segmenter: str = "sphere"
     sphere_seg_iters: int = 12
     sphere_seg_tol_mm: float = 2.0
     sphere_seg_init_top_rows: float = 0.3

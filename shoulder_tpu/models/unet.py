@@ -67,8 +67,16 @@ class UNet(nn.Module):
         return logits  # (B, H, W, 1); mask = logits > 0
 
 
-def segment_image(params, image):
-    """(H, W) normalized polar image -> (H, W) float mask via the UNet."""
+def segment_image(params, image, levels: int = 3):
+    """(H, W) normalized polar image -> (H, W) float mask via the UNet.
+
+    Pads to a multiple of 2^levels so skip connections align for any
+    window size, then crops back.
+    """
     model = UNet()
-    logits = model.apply(params, image[None, :, :, None])
-    return (logits[0, :, :, 0] > 0).astype(image.dtype)
+    h, w = image.shape
+    m = 1 << levels
+    ph, pw = (-h) % m, (-w) % m
+    x = jnp.pad(image, ((0, ph), (0, pw)))
+    logits = model.apply(params, x[None, :, :, None])
+    return (logits[0, :h, :w, 0] > 0).astype(image.dtype)

@@ -328,7 +328,7 @@ def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
 
 # --------------------------------------------------------------------- F
 def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
-                   cfg: PipelineConfig, out_n: int = 2048):
+                   cfg: PipelineConfig, seg_params=None, out_n: int = 2048):
     n = prox.zs.shape[0]
     interp = cfg.proximal.interp_num
     s, e = _cutoff_bounds(n, cfg.anp_cutoff)
@@ -359,10 +359,28 @@ def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
     z = jnp.broadcast_to(zs[:, None], (R, interp))
     pts = jnp.stack([x, y, z], axis=-1)          # (R,512,3)
 
-    mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(
-        pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
-        cfg.sphere_seg_init_top_rows,
-    )
+    if cfg.segmenter == "unet" and seg_params is not None:
+        # UNet mask over the normalized polar image (reference's interface,
+        # anatomic_neck.py:62-85); sphere stats still derive radius/QC
+        from shoulder_tpu.models import unet as unet_mod
+
+        mask = unet_mod.segment_image(seg_params, image)
+        mask = segment._longest_cyclic_run_per_row(mask > 0.5).astype(
+            image.dtype
+        )
+        sph_radius, sph_center = fits.fit_sphere(
+            pts.reshape(-1, 3), mask.reshape(-1)
+        )
+        d = jnp.linalg.norm(pts.reshape(-1, 3) - sph_center, axis=1)
+        resid_all = jnp.abs(d - sph_radius)
+        sph_resid = jnp.sum(
+            jnp.where(mask.reshape(-1) > 0, resid_all, 0.0)
+        ) / jnp.maximum(jnp.sum(mask), 1)
+    else:
+        mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(
+            pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
+            cfg.sphere_seg_init_top_rows,
+        )
     maski = mask.astype(jnp.int32)
     edge = jnp.abs(jnp.diff(maski, prepend=0, axis=-1)) > 0   # (R,512)
 
@@ -495,6 +513,7 @@ def compute_landmarks(
     proximal: bool = False,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     chunk: int = 50,
+    seg_params=None,
 ) -> Landmarks:
     verts_obb = geom.transform_pts(bone.verts, bone.obb_transform)
 
@@ -535,7 +554,7 @@ def compute_landmarks(
     # F: anatomic neck
     (anp_pts, anp_n, plane_pt, plane_n, axis_normal, axis_central,
      _plane_pt_obb, _plane_n_obb, radius, mask_frac, sph_resid,
-     ) = _anatomic_neck(prox, bone, bg_theta, cfg)
+     ) = _anatomic_neck(prox, bone, bg_theta, cfg, seg_params=seg_params)
 
     # G: transepicondylar (full bones only)
     if proximal:

@@ -194,3 +194,30 @@ def test_proximal_humerus_variant(tiny_cfg, tmp_path):
     assert ph.canal.axis().shape == (2, 3)
     ph.apply_csys_canal_articular()
     assert ph.transform.shape == (4, 4)
+
+
+def test_unet_segmenter_plumbing(synth_spec, tiny_cfg):
+    """segmenter='unet' path compiles and produces finite outputs with a
+    randomly initialized UNet (quality comes from training; this guards the
+    wiring)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from shoulder_tpu.models import forest
+    from shoulder_tpu.models.unet import UNet
+    from shoulder_tpu.pipeline.landmarks import compute_landmarks
+
+    cfg = dataclasses.replace(tiny_cfg, segmenter="unet")
+    params = UNet().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 1))
+    )
+    bt = B.bone_tensors(synth_spec)
+    lm = compute_landmarks(
+        bt, forest.load_params(), proximal=False, cfg=cfg, chunk=16,
+        seg_params=params,
+    )
+    lm = B.landmarks_to_numpy(lm)
+    assert np.isfinite(lm.neckshaft)
+    assert np.isfinite(lm.anp_plane_normal).all()
