@@ -284,6 +284,7 @@ class ProximalHumerus(Bone):
                 "mask_area_frac": float(lm.qc_mask_area_frac),
                 "sphere_resid_mm": float(lm.qc_sphere_resid),
                 "canal_fit_rms_mm": float(lm.qc_canal_fit_rms),
+                "slice_band_overflow": bool(lm.qc_slice_overflow),
             }
             self._lm_cache = d
         return self._lm_cache

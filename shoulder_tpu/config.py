@@ -97,6 +97,9 @@ class PipelineConfig:
     max_faces: int = 40960
     max_verts: int = 24576
     max_chain: int = 2048                 # max points in one section loop
+    # z-sorted face window per slicing plane (ops/slicing.SortedGeom);
+    # real fixtures need < 1024, overflow is QC-flagged per bone
+    slice_band: int = 2048
     # per-slice peak slots for the groove stage (7 kept of <=16 found)
     max_peaks_per_slice: int = 16
 
@@ -126,5 +129,6 @@ def tiny_config(max_faces: int = 8192, max_verts: int = 6144) -> PipelineConfig:
         max_faces=max_faces,
         max_verts=max_verts,
         max_chain=512,
+        slice_band=512,
         sphere_seg_iters=6,
     )

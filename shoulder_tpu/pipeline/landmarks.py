@@ -78,6 +78,7 @@ class Landmarks(NamedTuple):
     qc_mask_area_frac: jnp.ndarray
     qc_sphere_resid: jnp.ndarray
     qc_canal_fit_rms: jnp.ndarray
+    qc_slice_overflow: jnp.ndarray  # () bool: slice band too small
 
 
 def _cutoff_bounds(n: int, cutoff):
@@ -524,7 +525,7 @@ def compute_landmarks(
     )
     full = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_full,
-        cfg.full.interp_num, cfg.max_chain, chunk,
+        cfg.full.interp_num, cfg.max_chain, chunk, cfg.slice_band,
     )
 
     # B: surgical neck
@@ -538,7 +539,7 @@ def compute_landmarks(
     )
     prox = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_prox,
-        cfg.proximal.interp_num, cfg.max_chain, chunk,
+        cfg.proximal.interp_num, cfg.max_chain, chunk, cfg.slice_band,
     )
 
     # D: canal
@@ -557,6 +558,7 @@ def compute_landmarks(
      ) = _anatomic_neck(prox, bone, bg_theta, cfg, seg_params=seg_params)
 
     # G: transepicondylar (full bones only)
+    overflow = jnp.any(full.overflow) | jnp.any(prox.overflow)
     if proximal:
         te_axis = jnp.zeros((2, 3), jnp.float32)
     else:
@@ -565,11 +567,12 @@ def compute_landmarks(
         )
         distal = slicing.slice_stack(
             verts_obb, bone.faces, bone.neighbors, zs_dist,
-            cfg.distal.interp_num, cfg.max_chain, chunk,
+            cfg.distal.interp_num, cfg.max_chain, chunk, cfg.slice_band,
         )
         te_axis = _transepicondylar(
             distal, bone, canal_axis, axis_central, cfg
         )
+        overflow = overflow | jnp.any(distal.overflow)
 
     # H: metrics
     side_is_left, retro, neckshaft = _metrics(
@@ -601,4 +604,5 @@ def compute_landmarks(
         qc_mask_area_frac=mask_frac,
         qc_sphere_resid=sph_resid,
         qc_canal_fit_rms=canal_rms,
+        qc_slice_overflow=overflow,
     )
