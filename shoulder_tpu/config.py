@@ -98,8 +98,8 @@ class PipelineConfig:
     max_verts: int = 24576
     max_chain: int = 2048                 # max points in one section loop
     # z-sorted face window per slicing plane (ops/slicing.SortedGeom);
-    # real fixtures need < 1024, overflow is QC-flagged per bone
-    slice_band: int = 2048
+    # real fixtures cross < 350 faces per plane, overflow is QC-flagged
+    slice_band: int = 1024
     # per-slice peak slots for the groove stage (7 kept of <=16 found)
     max_peaks_per_slice: int = 16
 

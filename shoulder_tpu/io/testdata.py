@@ -32,6 +32,10 @@ def synthetic_humerus(
     side: str = "left",
     rng_transform: np.random.Generator | None = None,
     proximal_only: bool = False,
+    # arthritic deformations (BASELINE config 4 stress case)
+    head_flattening: float = 0.0,     # 0..~0.3: flattens the articular dome
+    osteophyte_amp: float = 0.0,      # mm: marginal osteophyte ridge height
+    surface_noise: float = 0.0,       # mm: rough cartilage loss
 ):
     """Returns (vertices (V,3), faces (F,3)) of a watertight synthetic bone.
 
@@ -81,6 +85,23 @@ def synthetic_humerus(
     blend = _smoothstep(zz, 0.70 * length, 0.78 * length)
     r = np.maximum(r, np.where(hit, r_head * blend + r * 0.0, -np.inf))
     r = np.maximum(r, shaft_radius * (1.0 - 0.35 * _smoothstep(zz, 0.9 * length, length)))
+
+    # arthritic deformations
+    if head_flattening > 0:
+        # flatten the superior articular dome toward a plane
+        head_zone = _smoothstep(zz, 0.78 * length, 0.9 * length)
+        flat_dir = np.cos(tt - np.deg2rad(groove_theta_deg + 150.0))
+        r = r - head_flattening * r * head_zone * np.clip(flat_dir, 0, 1) ** 2
+    if osteophyte_amp > 0:
+        # marginal osteophyte ridge near the anatomic neck
+        ridge = np.exp(-0.5 * ((zz - 0.76 * length) / (0.02 * length)) ** 2)
+        r = r + osteophyte_amp * ridge * (0.6 + 0.4 * np.cos(3 * tt))
+    if surface_noise > 0:
+        rng_n = np.random.default_rng(12345)
+        bumps = rng_n.normal(0, surface_noise, tt.shape)
+        # keep it smooth-ish: average neighbors along theta
+        bumps = (bumps + np.roll(bumps, 1, 1) + np.roll(bumps, -1, 1)) / 3.0
+        r = r + bumps * _smoothstep(zz, 0.7 * length, 0.8 * length)
 
     # bicipital groove: radial notch on the proximal third
     gth = np.deg2rad(groove_theta_deg) * sign

@@ -271,7 +271,9 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
                orig_id=None, compact: int = 0):
     F = geom.fvz.shape[0]
     crossed, start, end, succ = _crossing_segments(geom, z)
+    over_compact = jnp.asarray(False)
     if compact and compact < F:
+        over_compact = jnp.sum(crossed) > compact
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
         order = jnp.argsort(~crossed, stable=True)[:compact]
@@ -302,10 +304,13 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
             .min(jnp.where(crossed, orig_id.astype(jnp.int32), big))
         )
         is_rep = crossed & (lab == best) & (orig_id == min_orig[lab])
-    points = _order_loop(crossed, start, succ, lab, best, n_best, max_chain,
+    # loop length is bounded by the (compacted) face count, so the ordering
+    # and resampling buffers never need to exceed it
+    chain = min(max_chain, F)
+    points = _order_loop(crossed, start, succ, lab, best, n_best, chain,
                          is_rep)
-    contour = _resample(points, n_best, interp_num, max_chain)
-    return contour, centroid[best], area[best], jnp.sum(area[:F])
+    contour = _resample(points, n_best, interp_num, chain)
+    return contour, centroid[best], area[best], jnp.sum(area[:F]), over_compact
 
 
 @functools.partial(
@@ -326,9 +331,11 @@ def slice_stack(
 
     def one(z):
         win, orig, overflow = _window(sg, z, band)
-        out = _slice_one(win, z, interp_num, max_chain, orig_id=orig,
-                         compact=min(512, band))
-        return out + (overflow,)
+        c, cen, a, ta, over_c = _slice_one(
+            win, z, interp_num, max_chain, orig_id=orig,
+            compact=min(512, band),
+        )
+        return c, cen, a, ta, overflow | over_c
 
     contours, centroids, areas, total_areas, overflow = jax.lax.map(
         one, zs, batch_size=chunk
