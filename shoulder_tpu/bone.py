@@ -289,6 +289,30 @@ class ProximalHumerus(Bone):
             self._lm_cache = d
         return self._lm_cache
 
+    # ------------------------------------------------------ slice access
+    @property
+    def full_slices(self):
+        """Reference L3 accessor surface (slice.py:31-155) for the 200x100
+        full-bone stack."""
+        if getattr(self, "_full_slices_view", None) is None:
+            from shoulder_tpu import slices as slices_mod
+
+            self._full_slices_view = slices_mod.full_slices(
+                self._spec, self._cfg
+            )
+        return self._full_slices_view
+
+    @property
+    def proximal_slices(self):
+        """The 600x512 proximal stack (head -> surgical neck)."""
+        if getattr(self, "_prox_slices_view", None) is None:
+            from shoulder_tpu import slices as slices_mod
+
+            self._prox_slices_view = slices_mod.proximal_slices(
+                self._spec, self._landmarks()["neck_z"], self._cfg
+            )
+        return self._prox_slices_view
+
     # ------------------------------------------------------------- metrics
     def side(self) -> str:
         return self._landmarks()["side"]
@@ -364,6 +388,17 @@ class Humerus(ProximalHumerus):
         self.trans_epiconylar = TransEpicondylar(
             self, "Transverse Epicondylar Axis"
         )
+
+    @property
+    def distal_slices(self):
+        """The 200x500 distal stack (elbow half)."""
+        if getattr(self, "_dist_slices_view", None) is None:
+            from shoulder_tpu import slices as slices_mod
+
+            self._dist_slices_view = slices_mod.distal_slices(
+                self._spec, self._cfg
+            )
+        return self._dist_slices_view
 
     def retroversion(self) -> float:
         return self._landmarks()["retroversion"]

@@ -106,5 +106,50 @@ class Mesh:
         verts, faces = stl_io.weld(tris)
         return Mesh(verts, faces)
 
+    def cap_boundaries(self) -> "Mesh":
+        """Close open boundary loops with centroid fans (watertight output).
+
+        Used to build capped partial bones (e.g. a proximal humerus cropped
+        from a full one) — the open cut left by slice_plane becomes a flat
+        cap, matching how segmented clinical scans terminate.
+        """
+        f = self.faces
+        nb, _ = stl_io.edge_face_adjacency(f)
+        # boundary directed edges: face edge slots with no neighbor
+        edges = []
+        for k in range(3):
+            rows = np.flatnonzero(nb[:, k] < 0)
+            u = f[rows, k]
+            v = f[rows, (k + 1) % 3]
+            edges.extend(zip(u.tolist(), v.tolist()))
+        if not edges:
+            return self
+        nxt = dict(edges)  # boundary is 1-manifold: u -> v
+        new_tris = []
+        verts = self.vertices
+        remaining = dict(nxt)
+        while remaining:
+            start = next(iter(remaining))
+            loop = [start]
+            cur = remaining.pop(start)
+            while cur != start and cur in remaining:
+                loop.append(cur)
+                cur = remaining.pop(cur)
+            if len(loop) >= 3:
+                centroid = verts[loop].mean(axis=0)
+                for a, b in zip(loop, loop[1:] + loop[:1]):
+                    # boundary edges run CCW on the open rim; fan wound
+                    # (centroid, b, a) keeps outward orientation
+                    new_tris.append(
+                        np.stack([centroid, verts[b], verts[a]])
+                    )
+        if not new_tris:
+            return self
+        all_tris = np.concatenate(
+            [verts[f], np.stack(new_tris)], axis=0
+        )
+        v2, f2 = stl_io.weld(all_tris)
+        return Mesh(v2, f2)
+
     def export(self, path) -> None:
         stl_io.write_stl(path, self.vertices, self.faces)

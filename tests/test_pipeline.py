@@ -221,3 +221,51 @@ def test_unet_segmenter_plumbing(synth_spec, tiny_cfg):
     lm = B.landmarks_to_numpy(lm)
     assert np.isfinite(lm.neckshaft)
     assert np.isfinite(lm.anp_plane_normal).all()
+
+
+def test_cohort_api(synth_spec, tiny_cfg, tmp_path):
+    from shoulder_tpu import cohort
+
+    p1 = tmp_path / "a.stl"
+    p2 = tmp_path / "b.stl"
+    stl.write_stl(p1, synth_spec.vertices_raw, synth_spec.faces_raw)
+    stl.write_stl(p2, synth_spec.vertices_raw, synth_spec.faces_raw)
+    res = cohort.process_cohort([p1, p2], config=tiny_cfg, chunk=16)
+    assert len(res) == 2
+    assert res[0]["side"] in ("left", "right")
+    assert res[0]["retroversion_deg"] == pytest.approx(
+        res[1]["retroversion_deg"], abs=1e-3
+    )
+    summ = cohort.cohort_summary(res)
+    assert summ["n"] == 2
+    assert np.isfinite(summ["neckshaft_mean"])
+
+
+def test_slice_accessor_facade(synth_spec, tiny_cfg, tmp_path):
+    import shoulder_tpu
+
+    p = tmp_path / "s.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+    hum = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    fs = hum.full_slices
+    n = tiny_cfg.full.zslice_num
+    cut = (0.35, 0.75)
+    zs = fs.zs(cut)
+    areas = fs.areas1(cut)
+    cents = fs.centroids(cut)
+    ixy = fs.ixy(cut)
+    assert len(zs) == len(areas) == len(cents) == len(ixy)
+    assert ixy.shape[1:] == (2, tiny_cfg.full.interp_num)
+    assert (areas > 0).all()
+    # quirk parity: itr is cartesian; itr_start_even_theta == itr_start
+    assert np.allclose(fs.itr(cut), fs.ixy(cut))
+    assert np.allclose(fs.itr_start_even_theta(cut), fs.itr_start(cut))
+    # polar consistency: r == |centered xy|
+    pol = fs.itr_centered_start(cut)
+    xyc = fs.ixy_centered(cut)
+    r = np.hypot(xyc[:, 0], xyc[:, 1])
+    assert np.allclose(np.sort(pol[:, 1], axis=1), np.sort(r, axis=1),
+                       atol=1e-5)
+    # proximal + distal stacks exist
+    assert hum.proximal_slices.zs((0.2, 0.75)).shape[0] > 0
+    assert hum.distal_slices.zs((0.8, 0.99)).shape[0] > 0

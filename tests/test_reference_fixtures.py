@@ -84,3 +84,32 @@ def test_canal_te_geometry(fixture_landmarks):
     t = lm.te_axis[i, 0] - lm.te_axis[i, 1]
     cosang = abs(np.dot(c, t) / (np.linalg.norm(c) * np.linalg.norm(t)))
     assert cosang < 0.35
+
+
+def test_proximal_humerus_on_real_crop(tmp_path):
+    """Crop the real full humerus to its proximal ~45%, cap the cut, and run
+    the ProximalHumerus pipeline (the reference's validate_arthritic.py
+    mostly uses proximal-only scans)."""
+    import shoulder_tpu
+    from shoulder_tpu.io import ingest
+    from shoulder_tpu.io.mesh import Mesh
+
+    spec = ingest.load_bone(reference_stl("humerus_left.stl"))
+    m = Mesh(spec.vertices_raw, spec.faces_raw, spec.neighbors_raw)
+    # cut plane: 55% up the OBB z-axis, keep the +z (head) side
+    inv = np.linalg.inv(
+        np.vstack([spec.obb_transform[:3], [0, 0, 0, 1]])
+    )
+    z_cut = spec.z_bounds[0] + 0.55 * (spec.z_bounds[1] - spec.z_bounds[0])
+    origin = (inv @ np.array([0.0, 0.0, z_cut, 1.0]))[:3]
+    normal = inv[:3, :3] @ np.array([0.0, 0.0, 1.0])
+    prox = m.slice_plane(origin, normal).cap_boundaries()
+    p = tmp_path / "prox_real.stl"
+    prox.export(p)
+
+    ph = shoulder_tpu.ProximalHumerus(p)
+    assert ph.side() == "left"
+    assert 125.0 < ph.neckshaft() < 150.0
+    assert 18.0 < ph.radius_curvature() < 30.0
+    assert ph.canal.axis().shape == (2, 3)
+    assert not ph.quality()["slice_band_overflow"]

@@ -1,0 +1,104 @@
+"""Export (polar image, sphere-consensus mask) training pairs from STLs.
+
+Self-distillation data for the UNet articular segmenter: the robust-sphere
+segmenter labels real bones, the UNet learns to reproduce (and later
+generalize beyond) it.  Output: an .npz of float32 images and masks at the
+pipeline's native 512x512 resolution.
+
+Run:  python tools/export_polar_data.py out.npz bone1.stl [bone2.stl ...]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def polar_pairs(stl_paths, cfg=None):
+    import jax
+    import jax.numpy as jnp
+
+    from shoulder_tpu.config import DEFAULT_CONFIG
+    from shoulder_tpu.io import ingest
+    from shoulder_tpu.models import forest, segment
+    from shoulder_tpu.pipeline import batch as B
+    from shoulder_tpu.pipeline import landmarks as L
+    from shoulder_tpu.ops import slicing
+    from shoulder_tpu.utils import geometry as geom
+
+    cfg = cfg or DEFAULT_CONFIG
+    rf = forest.load_params()
+
+    @jax.jit
+    def extract(bt):
+        verts_obb = geom.transform_pts(bt.verts, bt.obb_transform)
+        zs_full = jnp.linspace(
+            cfg.z_inset * bt.z_max, cfg.z_inset * bt.z_min,
+            cfg.full.zslice_num,
+        )
+        full = slicing.slice_stack(
+            verts_obb, bt.faces, bt.neighbors, zs_full,
+            cfg.full.interp_num, cfg.max_chain, 50, cfg.slice_band,
+        )
+        neck_z, _, _ = L._surgical_neck(full, bt, False, cfg, cfg.max_chain)
+        zs_prox = jnp.linspace(
+            cfg.z_inset * bt.z_max, neck_z, cfg.proximal.zslice_num
+        )
+        prox = slicing.slice_stack(
+            verts_obb, bt.faces, bt.neighbors, zs_prox,
+            cfg.proximal.interp_num, cfg.max_chain, 50, cfg.slice_band,
+        )
+        _, _, canal_axis, _, _ = L._canal(full, bt, False, cfg)
+        _, _, bg_theta, _ = L._groove(prox, bt, canal_axis, rf, cfg, chunk=16)
+
+        # replicate the anatomic-neck polar image build
+        n = prox.zs.shape[0]
+        interp = cfg.proximal.interp_num
+        s, e = L._cutoff_bounds(n, cfg.anp_cutoff)
+        contours = prox.contours[s:e]
+        zs = prox.zs[s:e]
+        R = e - s
+        zero = jnp.zeros(2, contours.dtype)
+
+        def polar_row(contour):
+            th, r = L._to_polar_start(contour, zero)
+            t_samp = jnp.linspace(th[0], th[-2], interp)
+            r_i = jnp.interp(t_samp, th[:-1], r[:-1])
+            shift = jnp.argmin(jnp.abs(t_samp - bg_theta))
+            return jnp.roll(t_samp, -shift), jnp.roll(r_i, -shift)
+
+        t_im, r_im = jax.vmap(polar_row)(contours)
+        image = (r_im - jnp.min(r_im)) / (jnp.max(r_im) - jnp.min(r_im))
+        x = r_im * jnp.cos(t_im)
+        y = r_im * jnp.sin(t_im)
+        z = jnp.broadcast_to(zs[:, None], (R, interp))
+        pts = jnp.stack([x, y, z], axis=-1)
+        mask, _, _, _ = segment.sphere_segment(
+            pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
+            cfg.sphere_seg_init_top_rows,
+        )
+        return image, mask
+
+    images, masks = [], []
+    for p in stl_paths:
+        spec = ingest.load_bone(p)
+        bt = B.bone_tensors(spec)
+        img, msk = jax.block_until_ready(extract(bt))
+        images.append(np.asarray(img, np.float32))
+        masks.append(np.asarray(msk, np.float32))
+        print(f"{Path(p).stem}: mask frac {float(np.mean(msk)):.2f}")
+    return np.stack(images), np.stack(masks)
+
+
+def main():
+    out = sys.argv[1]
+    paths = sys.argv[2:]
+    images, masks = polar_pairs(paths)
+    np.savez_compressed(out, images=images, masks=masks)
+    print(f"wrote {out}: {images.shape}")
+
+
+if __name__ == "__main__":
+    main()
