@@ -176,3 +176,34 @@ def test_inv_transform_roundtrip():
     tf = np.eye(4); tf[:3, :3] = rot; tf[:3, 3] = [3, -8, 2]
     inv = np.asarray(geometry.inv_transform(tf))
     assert np.allclose(inv @ tf, np.eye(4), atol=1e-6)
+
+
+# ----------------------------------------------------------------- extras
+def test_utils_extras(tmp_path):
+    from shoulder_tpu.utils import extras
+
+    # iges line export writes a parseable-looking file
+    p = tmp_path / "line.igs"
+    extras.write_iges_line(np.array([[0, 0, 0], [1, 2, 3]]), p)
+    text = p.read_text()
+    assert "110," in text and text.rstrip().endswith("T0000001")
+
+    # z-score filter drops the outlier row
+    arr = np.array([[0.0, 1.0], [0.1, 1.1], [0.05, 0.9], [5.0, 1.0]])
+    kept = extras.z_score_filter(arr, 0, 1.2)
+    assert len(kept) == 3 and 5.0 not in kept[:, 0]
+
+    # closest point
+    pts = np.array([[0, 0, 0], [1, 1, 1], [3, 3, 3]], float)
+    nearest = extras.closest_pt(np.array([0.9, 1.0, 1.1]), pts)
+    assert np.allclose(nearest, [1, 1, 1])
+    nearest2, rest = extras.closest_pt(
+        np.array([0.9, 1.0, 1.1]), pts, return_other_pts=True
+    )
+    assert len(rest) == 2
+
+    # rotation alignment + angle
+    r = extras.rot_matrix_3d([1, 0, 0], [0, 1, 0])
+    assert np.allclose(r @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-9)
+    assert extras.angle_between([1, 0, 0], [0, 1, 0]) == pytest.approx(90.0)
+    assert extras.angle_between([1, 0, 0], [1, 0, 0]) == pytest.approx(0.0)
