@@ -313,21 +313,108 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
     return contour, centroid[best], area[best], jnp.sum(area[:F]), over_compact
 
 
+def _compact_slice(win: FaceGeom, z, orig_id, k: int):
+    """Crossing segments compacted to the first k slots (crossed first)."""
+    F = win.fvz.shape[0]
+    crossed, start, end, succ = _crossing_segments(win, z)
+    over = jnp.sum(crossed) > k
+    order = jnp.argsort(~crossed, stable=True)[:k]
+    inv = jnp.full(F, -1, jnp.int32).at[order].set(
+        jnp.arange(k, dtype=jnp.int32)
+    )
+    crossed_c = crossed[order]
+    start_c = start[order]
+    end_c = end[order]
+    succ_c = inv[succ[order]]
+    rows = jnp.arange(k)
+    succ_c = jnp.where(crossed_c & (succ_c >= 0), succ_c, rows)
+    return crossed_c, start_c, end_c, succ_c, orig_id[order], over
+
+
+def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
+    """Finish one slice from the walk output: pick the largest loop, roll to
+    the oracle start face (min original index), arc-length resample."""
+    K = order_s.shape[0]
+    posn = jnp.arange(K)
+    valid = posn < n_s
+    lid = jnp.where(valid, loop_s, K)
+    f = jnp.where(valid, order_s, 0)
+    sx, sy = start_s[f, 0], start_s[f, 1]
+    ex, ey = end_s[f, 0], end_s[f, 1]
+    cr2 = jnp.where(valid, sx * ey - ex * sy, 0.0)
+    z1 = jnp.zeros(K + 1)
+    area = 0.5 * z1.at[lid].add(cr2)
+    cx = z1.at[lid].add((sx + ex) * cr2)
+    cy = z1.at[lid].add((sy + ey) * cr2)
+    denom = jnp.where(jnp.abs(area) > 1e-12, 6.0 * area, 1.0)
+    centroid = jnp.stack([cx, cy], axis=1) / denom[:, None]
+    count = jnp.zeros(K + 1, jnp.int32).at[lid].add(valid.astype(jnp.int32))
+    first_pos = jnp.full(K + 1, K, jnp.int32).at[lid].min(
+        posn.astype(jnp.int32)
+    )
+
+    best = jnp.argmax(area[:K])
+    n_best = count[best]
+    p0 = first_pos[best]
+    nb = jnp.maximum(n_best, 1)
+    # oracle start: min original face index within the loop
+    big = jnp.iinfo(jnp.int32).max
+    span_faces = order_s[jnp.clip(p0 + posn, 0, K - 1)]
+    in_loop = posn < n_best
+    og = jnp.where(in_loop, orig_s[span_faces].astype(jnp.int32), big)
+    off = jnp.argmin(og)
+    ring = order_s[jnp.clip(p0 + (posn + off) % nb, 0, K - 1)]
+    pts = start_s[ring]
+    pts = jnp.where(in_loop[:, None], pts, 0.0)
+    contour = _resample(pts, n_best, interp_num, K)
+    return contour, centroid[best], area[best], jnp.sum(area[:K])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("interp_num", "max_chain", "chunk", "band")
+    jax.jit,
+    static_argnames=("interp_num", "max_chain", "chunk", "band", "use_walk"),
 )
 def slice_stack(
     verts, faces, neighbors, zs, interp_num: int, max_chain: int = 2048,
-    chunk: int = 50, band: int = 6144,
+    chunk: int = 50, band: int = 6144, use_walk: bool = False,
 ) -> SliceStack:
     """Cross-section contour stack for all planes `zs` of one mesh.
 
     Faces are z-sorted once; each plane's work runs on a (band,)-face
     window (see SortedGeom) — ~7x less gather/elementwise work than the
-    full face set at humerus scale.
+    full face set at humerus scale.  With use_walk=True the loop
+    labelling/ordering runs as the sequential Pallas SMEM walk
+    (ops/pallas_chain; interpret-mode off-TPU) instead of pointer doubling.
     """
     band = min(band, faces.shape[0])
     sg = sorted_geom(verts, faces, neighbors)
+
+    if use_walk:
+        from shoulder_tpu.ops import pallas_chain
+
+        k = min(512, band)
+
+        def prep(z):
+            win, orig, overflow = _window(sg, z, band)
+            crossed, start, end, succ, orig_c, over = _compact_slice(
+                win, z, orig, k
+            )
+            return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
+                    start, end, orig_c.astype(jnp.int32),
+                    overflow | over)
+
+        succ, crossed, start, end, orig, overflow = jax.lax.map(
+            prep, zs, batch_size=chunk
+        )
+        interpret = jax.default_backend() != "tpu"
+        order, loop_id, nvis = pallas_chain.chain_walk(
+            succ, crossed, interpret=interpret
+        )
+        contours, centroids, areas, total_areas = jax.vmap(
+            functools.partial(_post_walk, interp_num=interp_num)
+        )(order, loop_id, nvis[:, 0], start, end, orig)
+        return SliceStack(contours, centroids, areas, total_areas, zs,
+                          overflow)
 
     def one(z):
         win, orig, overflow = _window(sg, z, band)

@@ -1,0 +1,77 @@
+"""Pallas chain-walk kernel vs a python reference walk (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from shoulder_tpu.ops import pallas_chain
+
+
+def _py_walk(succ, crossed):
+    k = len(succ)
+    visited = np.zeros(k, bool)
+    order, loop_id = [], []
+    loop = -1
+    for head in range(k):
+        if not crossed[head]:
+            break  # front-packed
+        if visited[head]:
+            continue
+        loop += 1
+        cur = head
+        while not visited[cur]:
+            visited[cur] = True
+            order.append(cur)
+            loop_id.append(loop)
+            cur = succ[cur]
+    return np.array(order), np.array(loop_id)
+
+
+def _random_case(rng, k, n_loops, sizes):
+    succ = np.arange(k, dtype=np.int32)
+    crossed = np.zeros(k, np.int32)
+    total = sum(sizes)
+    perm = rng.permutation(total)  # faces 0..total-1 are crossed (packed)
+    idx = 0
+    for sz in sizes:
+        loop = perm[idx:idx + sz]
+        for a, b in zip(loop, np.roll(loop, -1)):
+            succ[a] = b
+        idx += sz
+    crossed[:total] = 1
+    return succ, crossed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_chain_walk_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    k = 128
+    cases = []
+    for _ in range(6):
+        n = rng.integers(1, 4)
+        sizes = rng.integers(3, 30, size=n).tolist()
+        while sum(sizes) > k - 4:
+            sizes = sizes[:-1]
+        cases.append(_random_case(rng, k, len(sizes), sizes))
+    succ = np.stack([c[0] for c in cases])
+    crossed = np.stack([c[1] for c in cases])
+
+    order, loop_id, nvis = pallas_chain.chain_walk(
+        succ, crossed, interpret=True
+    )
+    order, loop_id, nvis = map(np.asarray, (order, loop_id, nvis))
+
+    for i, (s, c) in enumerate(cases):
+        ref_order, ref_loop = _py_walk(s, c)
+        n = int(nvis[i, 0])
+        assert n == len(ref_order), f"case {i}"
+        assert order[i, :n].tolist() == ref_order.tolist(), f"case {i}"
+        assert loop_id[i, :n].tolist() == ref_loop.tolist(), f"case {i}"
+
+
+def test_chain_walk_empty_slice():
+    succ = np.arange(64, dtype=np.int32)[None].repeat(8, 0)
+    crossed = np.zeros((8, 64), np.int32)
+    order, loop_id, nvis = pallas_chain.chain_walk(
+        succ, crossed, interpret=True
+    )
+    assert (np.asarray(nvis) == 0).all()

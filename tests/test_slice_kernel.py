@@ -140,3 +140,28 @@ def test_stack_batched_vmap_consistency(synthetic_bone):
     assert np.allclose(
         np.asarray(batched.contours[1]), np.asarray(single.contours), atol=1e-5
     )
+
+
+def test_walk_path_matches_doubling(synthetic_bone):
+    """use_walk=True (Pallas chain walk; interpret mode on CPU) must produce
+    the same contour stack as the pointer-doubling path."""
+    verts, faces = synthetic_bone
+    v32, f32, nb = _prep(verts, faces)
+    zlo, zhi = verts[:, 2].min(), verts[:, 2].max()
+    zs = np.linspace(zlo + 5, zhi - 5, 24).astype(np.float32)
+
+    a = slicing.slice_stack(v32, f32, nb, zs, 64, 2048, 8, 1024, False)
+    b = slicing.slice_stack(v32, f32, nb, zs, 64, 2048, 8, 1024, True)
+    # overflowed slices (band too small near the synthetic end caps) are
+    # QC-flagged and excluded: both paths degrade there, differently
+    ok = ~(np.asarray(a.overflow) | np.asarray(b.overflow))
+    assert ok.sum() >= 20
+    # areas differ only by float summation order between the two groupings
+    assert np.allclose(np.asarray(a.areas)[ok], np.asarray(b.areas)[ok],
+                       atol=0.01)
+    assert np.allclose(
+        np.asarray(a.centroids)[ok], np.asarray(b.centroids)[ok], atol=1e-3
+    )
+    assert np.allclose(
+        np.asarray(a.contours)[ok], np.asarray(b.contours)[ok], atol=1e-3
+    )
