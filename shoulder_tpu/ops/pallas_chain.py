@@ -7,17 +7,34 @@ XLA it costs O(log N) full-width gather rounds, and TPU gathers are slow
 parallel doubling: ~170 ns per dependent step, ~2 x n_crossed steps per
 slice (measured 53 ms for 600 x 512 steps on v5e).
 
-Contract (after crossed-face compaction, ops/slicing._slice_one):
+Contract (after crossed-face compaction, ops/slicing._compact_slice):
   inputs  succ (S, K) int32   successor (self-loop where uncrossed)
           crossed (S, K) int32 {0,1}, all crossed faces packed at the FRONT
   outputs order (S, K) int32  face at walk position p (garbage past n)
-          loop_id (S, K) int32 loop ordinal at position p
           n (S, 1) int32      number of visited faces
-          succ is destroyed (aliased; visited marks are written into it)
 
 The walk visits loops in order of their smallest compact index, each loop
 traversed in successor direction from that face — the exact ordering the
-pointer-doubling path and the numpy oracle produce.
+pointer-doubling path and the numpy oracle produce.  Per-position loop
+ordinals are NOT emitted: they are reconstructed in XLA by the caller
+(`loop_ids_from_order`) — a new loop starts exactly where
+`order[p] != succ[order[p-1]]`, since a cycle's last face points back to
+its own first face, never to the next loop's head.
+
+Mosaic notes (v5e, all observed empirically on this deployment):
+  1. The while_loop condition must be a pure function of the carried
+     state — Ref loads inside `cond` miscompile (all-zero outputs /
+     device aborts); every SMEM read happens in the body and a carried
+     `done` flag drives termination.
+  2. Multiple non-aliased SMEM outputs are unreliable: with four outputs
+     two same-shape buffers came back bit-identical; with three, garbage;
+     `input_output_aliases` placing the alias anywhere but output 0 is a
+     FAILED_PRECONDITION.  Hence ONE combined (ROWS, 2K+1) SMEM output
+     holding [mutable succ copy | order | n], no aliasing, and an
+     in-kernel scalar copy of succ (≈K extra SMEM ops per row, about the
+     same order as the walk itself).
+  3. Batching folds (B, S, K) into (B*S, K) through a custom_vmap rule —
+     vmapping the pallas_call itself aborts the TPU backend.
 """
 
 from __future__ import annotations
@@ -32,61 +49,61 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 8  # slices per kernel invocation (SMEM block second-minor dim)
 
 
-def _walk_kernel(succ_ref, crossed_ref, succ_out_ref, order_ref, loop_ref,
-                 n_ref):
+def _walk_kernel(succ_ref, crossed_ref, combo_ref):
+    """combo layout per row: [0:K) mutable succ / visited marks,
+    [K:2K) order, [2K] visit count."""
+    k = succ_ref.shape[1]
+
     def row(r, _):
-        k = succ_ref.shape[1]
+        def cp(i, _):
+            combo_ref[r, i] = succ_ref[r, i]
+            return _
+
+        jax.lax.fori_loop(0, k, cp, 0)
 
         def cond(state):
-            head, pos, loop, cur = state
-            # seek terminates at the first uncrossed slot (front-packed);
-            # clamp the probe index (both operands of | are evaluated)
-            probe = jnp.minimum(head, k - 1)
-            seeking_done = (cur < 0) & (
-                (head >= k) | (crossed_ref[r, probe] == 0)
-            )
-            return ~seeking_done
+            return state[3] == 0
 
         def body(state):
-            head, pos, loop, cur = state
+            head, pos, cur, done = state
 
             def walk(_):
-                nxt = succ_out_ref[r, cur]
-                succ_out_ref[r, cur] = -1  # visited mark
-                order_ref[r, pos] = cur
-                loop_ref[r, pos] = loop
+                nxt = combo_ref[r, cur]
+                combo_ref[r, cur] = -1  # visited mark
+                combo_ref[r, k + pos] = cur
                 # loop closes when the successor is already visited
+                # (if nxt == cur, the dead end was just marked visited)
                 new_cur = jax.lax.select(
-                    succ_out_ref[r, nxt] < 0, -1, nxt
+                    combo_ref[r, nxt] < 0, jnp.int32(-1), nxt
                 )
-                # careful: if nxt == cur (dead end) it is now marked visited
-                return head, pos + 1, loop, new_cur
+                return head, pos + 1, new_cur, jnp.int32(0)
 
             def seek(_):
-                visited = succ_out_ref[r, head] < 0
-                new_cur = jax.lax.select(visited, -1, head)
-                new_loop = jax.lax.select(visited, loop, loop + 1)
-                return head + 1, pos, new_loop, new_cur
+                # stop at the first uncrossed slot (crossed is front-packed)
+                probe = jnp.minimum(head, k - 1)
+                exhausted = (head >= k) | (crossed_ref[r, probe] == 0)
+
+                def stop(_):
+                    return head, pos, jnp.int32(-1), jnp.int32(1)
+
+                def advance(_):
+                    visited = combo_ref[r, head] < 0
+                    new_cur = jax.lax.select(visited, jnp.int32(-1), head)
+                    return head + 1, pos, new_cur, jnp.int32(0)
+
+                return jax.lax.cond(exhausted, stop, advance, None)
 
             return jax.lax.cond(cur >= 0, walk, seek, None)
 
-        head0 = jnp.int32(0)
-        final = jax.lax.while_loop(
-            cond, body, (head0, jnp.int32(0), jnp.int32(-1), jnp.int32(-1))
-        )
-        n_ref[r, 0] = final[1]
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0))
+        final = jax.lax.while_loop(cond, body, init)
+        combo_ref[r, 2 * k] = final[1]
         return _
 
     jax.lax.fori_loop(0, _ROWS, row, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def chain_walk(succ, crossed, interpret: bool = False):
-    """Walk all loops of every slice.  succ/crossed: (S, K) int32.
-
-    Returns (order (S,K), loop_id (S,K), n (S,1)); entries at positions
-    >= n are garbage and must be masked by the caller.
-    """
+def _walk_impl(succ, crossed, interpret: bool):
     s, k = succ.shape
     pad = (-s) % _ROWS
     if pad:
@@ -94,23 +111,61 @@ def chain_walk(succ, crossed, interpret: bool = False):
         crossed = jnp.pad(crossed, ((0, pad), (0, 0)))
     sp = succ.shape[0]
 
-    grid = (sp // _ROWS,)
-    blk = lambda: pl.BlockSpec((_ROWS, k), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM)
-    blk1 = lambda: pl.BlockSpec((_ROWS, 1), lambda i: (i, 0),
-                                memory_space=pltpu.SMEM)
-    succ_out, order, loop_id, n = pl.pallas_call(
+    blk = lambda d: pl.BlockSpec((_ROWS, d), lambda i: (i, 0),
+                                 memory_space=pltpu.SMEM)
+    combo = pl.pallas_call(
         _walk_kernel,
-        grid=grid,
-        in_specs=[blk(), blk()],
-        out_specs=(blk(), blk(), blk(), blk1()),
-        out_shape=(
-            jax.ShapeDtypeStruct((sp, k), jnp.int32),
-            jax.ShapeDtypeStruct((sp, k), jnp.int32),
-            jax.ShapeDtypeStruct((sp, k), jnp.int32),
-            jax.ShapeDtypeStruct((sp, 1), jnp.int32),
-        ),
-        input_output_aliases={0: 0},
+        grid=(sp // _ROWS,),
+        in_specs=[blk(k), blk(k)],
+        out_specs=blk(2 * k + 1),
+        out_shape=jax.ShapeDtypeStruct((sp, 2 * k + 1), jnp.int32),
         interpret=interpret,
     )(succ, crossed)
-    return order[:s], loop_id[:s], n[:s]
+    return combo[:s, k:2 * k], combo[:s, 2 * k:2 * k + 1]
+
+
+@functools.lru_cache(maxsize=2)
+def _walk_fn(interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def walk(succ, crossed):
+        return _walk_impl(succ, crossed, interpret)
+
+    @walk.def_vmap
+    def _walk_vmap(axis_size, in_batched, succ, crossed):
+        del axis_size
+        if not in_batched[0]:
+            succ = jnp.broadcast_to(succ, crossed.shape)
+        if not in_batched[1]:
+            crossed = jnp.broadcast_to(crossed, succ.shape)
+        b, s, k = succ.shape
+        order, n = walk(succ.reshape(b * s, k), crossed.reshape(b * s, k))
+        out = (order.reshape(b, s, k), n.reshape(b, s, 1))
+        return out, (True, True)
+
+    return walk
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chain_walk(succ, crossed, interpret: bool = False):
+    """Walk all loops of every slice.  succ/crossed: (S, K) int32.
+
+    Returns (order (S,K), n (S,1)); entries at positions >= n are garbage
+    and must be masked by the caller.
+    """
+    return _walk_fn(interpret)(succ, crossed)
+
+
+def loop_ids_from_order(order, succ):
+    """Per-position loop ordinal, reconstructed in XLA (see module note).
+
+    order: (..., K) walk output; succ: (..., K) the successor map given to
+    the walk.  Entries past the visit count are garbage in, garbage out —
+    order is clipped into range only to keep the gather in-bounds.
+    """
+    k = order.shape[-1]
+    prev = jnp.clip(jnp.roll(order, 1, axis=-1), 0, k - 1)
+    cur = jnp.clip(order, 0, k - 1)
+    succ_prev = jnp.take_along_axis(succ, prev, axis=-1)
+    start = cur != succ_prev
+    start = start.at[..., 0].set(True)
+    return jnp.cumsum(start.astype(jnp.int32), axis=-1) - 1

@@ -96,7 +96,12 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
     degenerate = (faces[:, 0] == faces[:, 1]) & (faces[:, 1] == faces[:, 2])
     z_min = jnp.where(degenerate, jnp.inf, z_min)
     z_max = jnp.where(degenerate, -jnp.inf, z_max)
-    order = jnp.argsort(z_min)
+    # lexicographic (z_min, face id) sort: plain argsort tie-orders
+    # differently under vmap on TPU (all padding faces tie at +inf, and
+    # equal-z real faces tie too), which would shift window boundaries
+    # between batched and unbatched runs
+    idx = jnp.arange(z_min.shape[0], dtype=jnp.int32)
+    _, order = jax.lax.sort((z_min, idx), num_keys=2)
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
     nbr = jnp.where(neighbors >= 0, inv[neighbors], -1)[order]
     sg = FaceGeom(
@@ -150,17 +155,21 @@ def _crossing_segments(geom: FaceGeom, z):
     px = geom.fvx + t * (jnp.roll(geom.fvx, -1, axis=1) - geom.fvx)
     py = geom.fvy + t * (jnp.roll(geom.fvy, -1, axis=1) - geom.fvy)
 
-    ce = cross_edge
-    slot_a = jnp.argmax(ce, axis=1)                       # first crossing slot
-    slot_b = 2 - jnp.argmax(ce[:, ::-1], axis=1)          # last crossing slot
+    # Orientation is combinatorial, not metric: with CCW winding (outward
+    # normal n) the in-plane traversal direction is z-hat x n, and the
+    # traversal always ENTERS through the (+ -> -) crossed edge and EXITS
+    # through the (- -> +) one (marching-triangles invariant).  The sign
+    # pattern of d is deterministic; a geometric test (dot of the segment
+    # with dir2d) is fp noise whenever the plane grazes a vertex and the
+    # segment is near zero-length, and it flips between differently-fused
+    # XLA programs (batched vs unbatched) — changing the loop topology.
     rows = jnp.arange(F)
-    pa = jnp.stack([px[rows, slot_a], py[rows, slot_a]], axis=1)
-    pb = jnp.stack([px[rows, slot_b], py[rows, slot_b]], axis=1)
-
-    forward = jnp.sum((pb - pa) * geom.dir2d, axis=1) >= 0.0
-    start = jnp.where(forward[:, None], pa, pb)
-    end = jnp.where(forward[:, None], pb, pa)
-    exit_slot = jnp.where(forward, slot_b, slot_a)
+    entry_slot = jnp.argmax(pos & ~pos_next, axis=1)
+    exit_slot = jnp.argmax(~pos & pos_next, axis=1)
+    start = jnp.stack(
+        [px[rows, entry_slot], py[rows, entry_slot]], axis=1
+    )
+    end = jnp.stack([px[rows, exit_slot], py[rows, exit_slot]], axis=1)
 
     succ_raw = geom.neighbors[rows, exit_slot]
     succ = jnp.where(
@@ -168,6 +177,19 @@ def _crossing_segments(geom: FaceGeom, z):
     )
     # a successor that is itself uncrossed (non-watertight edge) dead-ends
     succ = jnp.where(crossed[succ], succ, rows)
+    # enforce injectivity: when the plane grazes a vertex, the orientation
+    # sign of a near-zero-length segment is fp noise and TWO faces can
+    # claim the same successor; pointer doubling (label merge) and the
+    # sequential walk (visited marks) resolve such junctions differently.
+    # Keep only the smallest-index predecessor per target; dead-end the
+    # rest.  Non-degenerate slices (one predecessor per target) unchanged.
+    linked = crossed & (succ != rows)
+    pred_min = (
+        jnp.full(F, F, jnp.int32)
+        .at[jnp.where(linked, succ, F)]
+        .min(rows.astype(jnp.int32), mode="drop")
+    )
+    succ = jnp.where(linked & (pred_min[succ] != rows), rows, succ)
     return crossed, start, end, succ
 
 
@@ -270,25 +292,19 @@ def _resample(points, n_valid, interp_num, max_chain):
 def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
                orig_id=None, compact: int = 0):
     F = geom.fvz.shape[0]
-    crossed, start, end, succ = _crossing_segments(geom, z)
     over_compact = jnp.asarray(False)
     if compact and compact < F:
-        over_compact = jnp.sum(crossed) > compact
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
-        order = jnp.argsort(~crossed, stable=True)[:compact]
-        inv = jnp.full(F, -1, jnp.int32).at[order].set(
-            jnp.arange(compact, dtype=jnp.int32)
+        oid = orig_id if orig_id is not None else jnp.arange(F)
+        crossed, start, end, succ, oid_c, over_compact = _compact_slice(
+            geom, z, oid, compact
         )
-        crossed = crossed[order]
-        start = start[order]
-        end = end[order]
-        succ_c = inv[succ[order]]
-        rows_c = jnp.arange(compact)
-        succ = jnp.where(crossed & (succ_c >= 0), succ_c, rows_c)
         if orig_id is not None:
-            orig_id = orig_id[order]
+            orig_id = oid_c
         F = compact
+    else:
+        crossed, start, end, succ = _crossing_segments(geom, z)
     lab = _label_loops(crossed, succ)
     area, centroid, count, _ = _loop_stats(crossed, start, end, lab, F)
     best = jnp.argmax(area[:F])
@@ -314,18 +330,27 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
 
 
 def _compact_slice(win: FaceGeom, z, orig_id, k: int):
-    """Crossing segments compacted to the first k slots (crossed first)."""
+    """Crossing segments compacted to the first k slots (crossed first).
+
+    Sort keys are unique integers (crossed-bit, window position): on TPU a
+    batched bool argsort(stable=True) tie-orders differently from the
+    unbatched one, and compaction must be permutation-deterministic.
+    """
     F = win.fvz.shape[0]
     crossed, start, end, succ = _crossing_segments(win, z)
     over = jnp.sum(crossed) > k
-    order = jnp.argsort(~crossed, stable=True)[:k]
+    keys = jnp.where(crossed, 0, F) + jnp.arange(F, dtype=jnp.int32)
+    order = jnp.argsort(keys)[:k]
     inv = jnp.full(F, -1, jnp.int32).at[order].set(
         jnp.arange(k, dtype=jnp.int32)
     )
     crossed_c = crossed[order]
     start_c = start[order]
     end_c = end[order]
-    succ_c = inv[succ[order]]
+    # boundary faces have succ == -1; inv[-1] would wrap to inv's last
+    # element, injecting a permutation-dependent spurious link
+    succ_w = succ[order]
+    succ_c = jnp.where(succ_w >= 0, inv[jnp.clip(succ_w, 0, F - 1)], -1)
     rows = jnp.arange(k)
     succ_c = jnp.where(crossed_c & (succ_c >= 0), succ_c, rows)
     return crossed_c, start_c, end_c, succ_c, orig_id[order], over
@@ -376,7 +401,7 @@ def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
 )
 def slice_stack(
     verts, faces, neighbors, zs, interp_num: int, max_chain: int = 2048,
-    chunk: int = 50, band: int = 6144, use_walk: bool = False,
+    chunk: int = 50, band: int = 6144, use_walk: bool | None = None,
 ) -> SliceStack:
     """Cross-section contour stack for all planes `zs` of one mesh.
 
@@ -384,8 +409,12 @@ def slice_stack(
     window (see SortedGeom) — ~7x less gather/elementwise work than the
     full face set at humerus scale.  With use_walk=True the loop
     labelling/ordering runs as the sequential Pallas SMEM walk
-    (ops/pallas_chain; interpret-mode off-TPU) instead of pointer doubling.
+    (ops/pallas_chain) instead of pointer doubling — 26% faster on v5e and
+    bit-identical; the default (None) picks the walk on TPU and doubling
+    elsewhere (interpret-mode pallas would crawl on CPU).
     """
+    if use_walk is None:
+        use_walk = jax.default_backend() == "tpu"
     band = min(band, faces.shape[0])
     sg = sorted_geom(verts, faces, neighbors)
 
@@ -407,9 +436,10 @@ def slice_stack(
             prep, zs, batch_size=chunk
         )
         interpret = jax.default_backend() != "tpu"
-        order, loop_id, nvis = pallas_chain.chain_walk(
+        order, nvis = pallas_chain.chain_walk(
             succ, crossed, interpret=interpret
         )
+        loop_id = pallas_chain.loop_ids_from_order(order, succ)
         contours, centroids, areas, total_areas = jax.vmap(
             functools.partial(_post_walk, interp_num=interp_num)
         )(order, loop_id, nvis[:, 0], start, end, orig)

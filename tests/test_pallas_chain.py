@@ -1,5 +1,6 @@
 """Pallas chain-walk kernel vs a python reference walk (interpret mode)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -55,9 +56,8 @@ def test_chain_walk_matches_python(seed):
     succ = np.stack([c[0] for c in cases])
     crossed = np.stack([c[1] for c in cases])
 
-    order, loop_id, nvis = pallas_chain.chain_walk(
-        succ, crossed, interpret=True
-    )
+    order, nvis = pallas_chain.chain_walk(succ, crossed, interpret=True)
+    loop_id = pallas_chain.loop_ids_from_order(order, jnp.asarray(succ))
     order, loop_id, nvis = map(np.asarray, (order, loop_id, nvis))
 
     for i, (s, c) in enumerate(cases):
@@ -71,7 +71,24 @@ def test_chain_walk_matches_python(seed):
 def test_chain_walk_empty_slice():
     succ = np.arange(64, dtype=np.int32)[None].repeat(8, 0)
     crossed = np.zeros((8, 64), np.int32)
-    order, loop_id, nvis = pallas_chain.chain_walk(
-        succ, crossed, interpret=True
-    )
+    order, nvis = pallas_chain.chain_walk(succ, crossed, interpret=True)
     assert (np.asarray(nvis) == 0).all()
+
+
+def test_chain_walk_vmap_batches_via_reshape():
+    """vmap over a bone batch must fold into one (B*S, K) kernel call and
+    match the unbatched result."""
+    rng = np.random.default_rng(7)
+    k = 64
+    cases = [_random_case(rng, k, 2, [5, 9]) for _ in range(6)]
+    succ = np.stack([c[0] for c in cases]).reshape(2, 3, k)
+    crossed = np.stack([c[1] for c in cases]).reshape(2, 3, k)
+
+    import jax
+
+    f = lambda s, c: pallas_chain.chain_walk(s, c, interpret=True)
+    order_b, n_b = jax.vmap(f)(succ, crossed)
+    order_f, n_f = f(succ.reshape(6, k), crossed.reshape(6, k))
+    assert np.array_equal(np.asarray(order_b).reshape(6, k),
+                          np.asarray(order_f))
+    assert np.array_equal(np.asarray(n_b).reshape(6, 1), np.asarray(n_f))
