@@ -75,6 +75,51 @@ def test_chain_walk_empty_slice():
     assert (np.asarray(nvis) == 0).all()
 
 
+@pytest.mark.skipif(
+    "RUN_TPU" not in __import__("os").environ,
+    reason="real-TPU hardware test: set RUN_TPU=1 (one TPU client at a time)",
+)
+def test_chain_walk_on_tpu_hardware():
+    """Compiled (non-interpret) kernel on the real chip.
+
+    Interpret mode hides every Mosaic miscompile this kernel has hit
+    (see module docstring); this is the guard against regressions in the
+    SMEM output layout / while-loop structure.
+    """
+    import subprocess
+    import sys
+
+    # the suite pins jax to CPU (conftest); the TPU client must be a fresh
+    # process with the default backend
+    code = """
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from shoulder_tpu.ops import pallas_chain
+assert jax.default_backend() == "tpu", jax.default_backend()
+_ = float(np.asarray(jax.jit(jnp.sum)(jnp.arange(8.0))))  # warm D2H
+succ = np.arange(64, dtype=np.int32)[None].repeat(8, 0).copy()
+crossed = np.zeros((8, 64), np.int32)
+succ[0,0],succ[0,1],succ[0,2]=1,2,0; crossed[0,:3]=1
+succ[1,0],succ[1,1]=1,0; succ[1,2],succ[1,3],succ[1,4]=3,4,2; crossed[1,:5]=1
+sj = jnp.asarray(succ)
+order, n = pallas_chain.chain_walk(sj, jnp.asarray(crossed), interpret=False)
+loop = pallas_chain.loop_ids_from_order(order, sj)
+o, l, nn = map(np.asarray, jax.jit(
+    lambda a, b, c: (a[:2, :5], b[:2, :5], c[:2, 0]))(order, loop, n))
+assert nn.tolist() == [3, 5], nn
+assert o[0, :3].tolist() == [0, 1, 2] and o[1, :5].tolist() == [0, 1, 2, 3, 4], o
+assert l[0, :3].tolist() == [0, 0, 0] and l[1, :5].tolist() == [0, 0, 1, 1, 1], l
+print("TPU_WALK_OK")
+"""
+    # inherit the env: the TPU tunnel config lives there (the suite's CPU
+    # pin is in-process via force_cpu(), not env)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=420,
+    )
+    assert "TPU_WALK_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
 def test_chain_walk_vmap_batches_via_reshape():
     """vmap over a bone batch must fold into one (B*S, K) kernel call and
     match the unbatched result."""
