@@ -105,7 +105,8 @@ class HumeralHeadOsteotomy:
         """(arthroplasty.py:90-104)"""
         sphr = _spherical(self._res_plane_csys_anp.normal)
         if self._humerus.side() == "left":
-            sphr[1] -= deg  # increasing retroversion is negative
+            # more retroversion = smaller theta on a left humerus
+            sphr[1] -= deg
         else:
             sphr[1] += deg
         self._res_plane_csys_anp = Plane(
@@ -115,7 +116,7 @@ class HumeralHeadOsteotomy:
     def offest_neckshaft(self, deg: float) -> None:
         """Published spelling preserved (arthroplasty.py:106-118)."""
         sphr = _spherical(self._res_plane_csys_anp.normal)
-        sphr[2] -= deg  # increasing neckshaft angle is negative
+        sphr[2] -= deg  # a steeper neck-shaft cut lowers phi
         self._res_plane_csys_anp = Plane(
             self._res_plane_csys_anp.point, _unspherical(sphr)
         )
@@ -134,7 +135,8 @@ class HumeralHeadOsteotomy:
             new_point += mm * self._res_plane_csys_anp.normal
         else:
             raise ValueError(
-                "Invalid direction. Choose from: 'canal', 'anp', or 'resection'"
+                f"unknown offset direction {direction!r}; expected one of "
+                "'canal', 'anp', 'resection'"
             )
         self._res_plane_csys_anp = Plane(
             new_point, self._res_plane_csys_anp.normal

@@ -58,17 +58,53 @@ class Canal(_LandmarkView):
     """Canal centerline (reference canal.py:10-142)."""
 
     def points(self, cutoff_pcts=(0.35, 0.75)) -> np.ndarray:
+        """Canal-window slice centroids in the current frame.
+
+        A non-default ``cutoff_pcts`` re-runs the pipeline with that
+        line-fit window (reference canal.py:19-56 computes from the given
+        window on first call; here a changed value also invalidates the
+        cached landmarks, so repeated calls stay consistent with the
+        window most recently asked for).
+        """
         self._accessed = True
+        self._bone._set_params(canal_cutoff=tuple(cutoff_pcts))
         lm = self._lm()
         pts = lm["canal_points"]
         self._points = _tp(pts, self._tfrm.matrix)
         return self._points
 
     def axis(self, cutoff_pcts=(0.35, 0.75)) -> np.ndarray:
+        """Two endpoints of the canal line fit (reference canal.py:58-85)."""
         self._accessed = True
+        self._bone._set_params(canal_cutoff=tuple(cutoff_pcts))
         lm = self._lm()
         self._axis = _tp(lm["canal_axis"], self._tfrm.matrix)
         return self._axis
+
+    def get_transform(self) -> np.ndarray:
+        """CT -> canal csys: z = canal direction, x = OBB x projected
+        orthogonal to it, origin at the axis midpoint (reference
+        canal.py:88-124).  Uses the axis as last returned (current frame),
+        like the reference's ``self._axis``."""
+        ax = self.axis() if getattr(self, "_axis", None) is None else self._axis
+        ax = np.asarray(ax, dtype=np.float64)
+        z_hat = ax[0] - ax[1]
+        z_hat /= np.linalg.norm(z_hat)
+        x_hat = np.asarray(self._bone._spec.obb_transform)[:3, 0].astype(
+            np.float64
+        ).copy()
+        x_hat -= z_hat * np.dot(x_hat, z_hat) / np.dot(z_hat, z_hat)
+        x_hat /= np.linalg.norm(x_hat)
+        y_hat = np.cross(z_hat, x_hat)
+        y_hat /= np.linalg.norm(y_hat)
+        pos = ax.mean(axis=0)
+        m = np.eye(4)
+        m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = x_hat, y_hat, z_hat, pos
+        # rigid inverse: CT -> canal csys
+        out = np.eye(4)
+        out[:3, :3] = m[:3, :3].T
+        out[:3, 3] = -m[:3, :3].T @ pos
+        return out
 
     @property
     def _axis_ct(self):
@@ -118,7 +154,15 @@ class DeepGroove(_LandmarkView):
     """Bicipital groove (reference bicipital_groove.py:18-284)."""
 
     def points(self, cutoff_pcts=(0.2, 0.75), deg_window=7) -> np.ndarray:
+        """Groove polyline in the current frame.
+
+        Non-default ``cutoff_pcts`` (detection window over the proximal
+        stack) or ``deg_window`` (per-slice radial-argmin half-window in
+        degrees) re-run the pipeline with those values (reference
+        bicipital_groove.py:26,161,192)."""
         self._accessed = True
+        self._bone._set_params(groove_cutoff=tuple(cutoff_pcts),
+                               groove_deg_window=float(deg_window))
         lm = self._lm()
         self._points = _tp(lm["bg_points"], self._tfrm.matrix)
         return self._points
@@ -212,6 +256,12 @@ class TransEpicondylar(_LandmarkView):
     """Transepicondylar axis (reference epicondyle.py:15-117)."""
 
     def axis(self, num_slices: int = 50) -> np.ndarray:
+        """Medial-first transepicondylar axis endpoints.
+
+        ``num_slices`` is accepted for signature parity but has no effect:
+        the reference declares it (epicondyle.py:29) and never reads it in
+        the body — the search always runs over the distal stack's
+        (0.8, 0.99) window."""
         self._accessed = True
         lm = self._lm()
         self._axis = _tp(lm["te_axis"], self._tfrm.matrix)
@@ -245,11 +295,37 @@ class ProximalHumerus(Bone):
                              self._spec.neighbors_raw)
         self.mesh = self._mesh_ct.copy()
         self._lm_cache = None
+        self._param_overrides = {}
 
         self.canal = Canal(self, "Canal Axis")
         self.surgical_neck = SurgicalNeck(self, "Surgical Neck")
         self.bicipital_groove = DeepGroove(self, "Bicipital Groove")
         self.anatomic_neck = AnatomicNeck(self, "Anatomic Neck")
+
+    # ------------------------------------------------------------- params
+    def _set_params(self, **overrides) -> None:
+        """Record landmark-parameter overrides (canal/groove windows).
+
+        If an override changes the value the cached landmarks were computed
+        with, the cache is invalidated so the next access recomputes with
+        the new parameters.  The reference recomputes only while a landmark
+        is still cold (canal.py:31, bicipital_groove.py:159) — invalidating
+        here is the stricter behavior: the returned values always reflect
+        the parameters most recently passed."""
+        changed = False
+        for k, v in overrides.items():
+            if getattr(self._effective_cfg(), k) != v:
+                self._param_overrides[k] = v
+                changed = True
+        if changed:
+            self._lm_cache = None
+
+    def _effective_cfg(self) -> cfg_mod.PipelineConfig:
+        import dataclasses
+
+        if not self._param_overrides:
+            return self._cfg
+        return dataclasses.replace(self._cfg, **self._param_overrides)
 
     # ------------------------------------------------------------- compute
     def _landmarks(self) -> dict:
@@ -259,7 +335,7 @@ class ProximalHumerus(Bone):
             from shoulder_tpu.pipeline.landmarks import compute_landmarks
 
             lm = compute_landmarks(bt, rf, proximal=self._proximal,
-                                   cfg=self._cfg)
+                                   cfg=self._effective_cfg())
             lm = batch_mod.landmarks_to_numpy(lm)
             d = {}
             d["canal_points"] = _np(lm.canal_points[np.asarray(lm.canal_mask)])

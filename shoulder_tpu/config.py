@@ -24,7 +24,6 @@ class SliceSetConfig:
 
     zslice_num: int
     interp_num: int
-    return_odd: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

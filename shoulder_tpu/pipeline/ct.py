@@ -59,9 +59,7 @@ def synth_ct_volume(
     ys = origin[1] + np.arange(h) * sy
     xs = origin[0] + np.arange(w) * sx
 
-    # nearest-ring radius lookup: ring zs are sorted ascending
-    ring_z = verts[:, 2].reshape(220 + 0, -1)[:, 0] if False else None
-    # robust: use the generator's vertices per ring
+    # nearest-ring radius lookup from the generator's vertices per ring
     ring_count = 192
     ring_verts = verts[: 220 * ring_count].reshape(220, ring_count, 3)
     ring_zs = ring_verts[:, 0, 2]

@@ -95,8 +95,10 @@ def _canal(stack: slicing.SliceStack, bone: BoneTensors, proximal: bool,
            cfg: PipelineConfig):
     n = stack.zs.shape[0]
     idx = jnp.arange(n)
-    if proximal:
-        # dynamic window from the ingest-time OBB area scan (canal.py:32-37)
+    if proximal and tuple(cfg.canal_cutoff) == (0.35, 0.75):
+        # dynamic window from the ingest-time OBB area scan; the reference
+        # substitutes it only when the caller left cutoff_pcts at the
+        # default (canal.py:32-37) — a custom cutoff wins even on proximal
         start = jnp.floor((1.0 - bone.cutoff_hi) * n)
         end = jnp.floor((1.0 - bone.cutoff_lo) * n)
         mean_cut = 0.5 * (bone.cutoff_lo + bone.cutoff_hi)

@@ -50,11 +50,17 @@ def test_pipeline_shapes_and_finiteness(landmarks, tiny_cfg):
     assert int(lm.anp_n[0]) > 10
 
 
-def test_canal_axis_points_proximal(landmarks):
-    # OBB +z is proximal; the canal axis row 0 must be the proximal end.
-    # Both endpoints are in CT space; verify via the spec transform.
+def test_canal_axis_points_proximal(landmarks, synth_spec):
+    # OBB +z is proximal (head end); canal axis row 0 must be the proximal
+    # endpoint (reference canal.py:66-78).  Axis is stored in CT space —
+    # map it to the OBB frame and compare z.
     lm = landmarks
     assert np.isfinite(lm.canal_axis).all()
+    m = np.asarray(synth_spec.obb_transform)
+    ax_obb = lm.canal_axis[0] @ m[:3, :3].T + m[:3, 3]
+    assert ax_obb[0, 2] > ax_obb[1, 2]
+    # the two endpoints span the cutoff-window length along the fit line
+    assert np.linalg.norm(ax_obb[0] - ax_obb[1]) > 1.0
 
 
 def test_batch_consistency_vs_single(synth_spec, tiny_cfg):
@@ -239,6 +245,61 @@ def test_cohort_api(synth_spec, tiny_cfg, tmp_path):
     summ = cohort.cohort_summary(res)
     assert summ["n"] == 2
     assert np.isfinite(summ["neckshaft_mean"])
+
+
+def test_landmark_params_honored(synth_spec, tiny_cfg, tmp_path):
+    """Non-default reference-API parameters must change the outputs
+    (canal.py:19, bicipital_groove.py:26) instead of being silently
+    ignored; reverting to defaults restores the default results."""
+    import shoulder_tpu
+
+    p = tmp_path / "synth.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+    hum = shoulder_tpu.Humerus(p, config=tiny_cfg)
+
+    pts_default = hum.canal.points().copy()
+    ax_default = hum.canal.axis().copy()
+    pts_narrow = hum.canal.points(cutoff_pcts=(0.45, 0.65)).copy()
+    ax_narrow = hum.canal.axis(cutoff_pcts=(0.45, 0.65)).copy()
+    # a narrower window keeps fewer centroids and shortens the axis span
+    assert len(pts_narrow) < len(pts_default)
+    assert (np.linalg.norm(ax_narrow[0] - ax_narrow[1])
+            < np.linalg.norm(ax_default[0] - ax_default[1]))
+    # back to the default window: default results again
+    assert np.allclose(hum.canal.points(), pts_default, atol=1e-5)
+
+    bg_default = hum.bicipital_groove.points().copy()
+    # deg_window reaches the pipeline config and triggers a recompute (on
+    # this clean synthetic groove the wider argmin window lands on the same
+    # minimum, so assert the plumbing, not a value change)
+    hum.bicipital_groove.points(deg_window=21)
+    assert hum._effective_cfg().groove_deg_window == 21.0
+    bg_cut = hum.bicipital_groove.points(cutoff_pcts=(0.3, 0.6)).copy()
+    assert hum._effective_cfg().groove_deg_window == 7.0  # reset by default
+    assert len(bg_cut) != len(bg_default) or not np.allclose(
+        bg_cut[: len(bg_default)], bg_default
+    )
+
+
+def test_canal_get_transform(synth_spec, tiny_cfg, tmp_path):
+    """Canal.get_transform maps the canal axis onto z through the origin
+    and is orthonormal (reference canal.py:88-124)."""
+    import shoulder_tpu
+
+    p = tmp_path / "synth.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+    hum = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    tf = hum.canal.get_transform()
+    assert tf.shape == (4, 4)
+    r = tf[:3, :3]
+    assert np.allclose(r @ r.T, np.eye(3), atol=1e-8)
+    ax = hum.canal.axis()
+    mapped = ax @ r.T + tf[:3, 3]
+    # canal direction -> +z, midpoint -> origin
+    d = mapped[0] - mapped[1]
+    d /= np.linalg.norm(d)
+    assert np.allclose(d, [0, 0, 1], atol=1e-6)
+    assert np.allclose(mapped.mean(0), 0, atol=1e-6)
 
 
 def test_slice_accessor_facade(synth_spec, tiny_cfg, tmp_path):
