@@ -90,6 +90,7 @@ def process_cohort(
                     "sphere_resid_mm": float(lm.qc_sphere_resid[i]),
                     "canal_fit_rms_mm": float(lm.qc_canal_fit_rms[i]),
                     "slice_band_overflow": bool(lm.qc_slice_overflow[i]),
+                    "open_edges": bool(lm.qc_open_edges[i]),
                 },
             }
         )
@@ -112,6 +113,7 @@ def cohort_summary(results: list[dict]) -> dict:
             np.mean([r["side"] == "left" for r in results])
         ),
         "qc_flags": int(
-            sum(r["qc"]["slice_band_overflow"] for r in results)
+            sum(r["qc"]["slice_band_overflow"] or r["qc"]["open_edges"]
+                for r in results)
         ),
     }

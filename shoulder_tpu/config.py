@@ -20,19 +20,30 @@ class SliceSetConfig:
 
     Mirrors reference slice.FullSlices / ProximalSlices / DistalSlices
     (src/shoulder/humerus/slice.py:209-276).
+
+    `band` is the z-sorted face window per slicing plane (ops/slicing
+    SortedGeom).  The window must reach every face whose z_min ranks up to
+    density*extent positions below the plane; measured on the reference
+    fixtures the requirement is <=758 for the proximal stack but up to
+    ~1100 in the dense wide distal (elbow) region — hence per-stack
+    values.  Overflow is QC-flagged (qc_slice_overflow).
     """
 
     zslice_num: int
     interp_num: int
+    band: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     # --- slicing families (reference slice.py:209-276) -------------------
-    full: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=100)
+    full: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=100,
+                                          band=2048)
     # "must not change needed for anp cnn" (reference slice.py:236-237)
-    proximal: SliceSetConfig = SliceSetConfig(zslice_num=600, interp_num=512)
-    distal: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=500)
+    proximal: SliceSetConfig = SliceSetConfig(zslice_num=600, interp_num=512,
+                                              band=1024)
+    distal: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=500,
+                                            band=2048)
 
     # fraction of the OBB z-extent covered by full/distal slicing
     # (reference slice.py:221-222, 273)
@@ -96,9 +107,6 @@ class PipelineConfig:
     max_faces: int = 40960
     max_verts: int = 24576
     max_chain: int = 2048                 # max points in one section loop
-    # z-sorted face window per slicing plane (ops/slicing.SortedGeom);
-    # real fixtures cross < 350 faces per plane, overflow is QC-flagged
-    slice_band: int = 1024
     # per-slice peak slots for the groove stage (7 kept of <=16 found)
     max_peaks_per_slice: int = 16
 
@@ -120,14 +128,13 @@ def tiny_config(max_faces: int = 8192, max_verts: int = 6144) -> PipelineConfig:
     """
     return dataclasses.replace(
         DEFAULT_CONFIG,
-        full=SliceSetConfig(zslice_num=64, interp_num=64),
-        proximal=SliceSetConfig(zslice_num=96, interp_num=128),
-        distal=SliceSetConfig(zslice_num=48, interp_num=96),
+        full=SliceSetConfig(zslice_num=64, interp_num=64, band=512),
+        proximal=SliceSetConfig(zslice_num=96, interp_num=128, band=512),
+        distal=SliceSetConfig(zslice_num=48, interp_num=96, band=512),
         mrr_coarse_angles=64,
         mrr_fine_angles=9,
         max_faces=max_faces,
         max_verts=max_verts,
         max_chain=512,
-        slice_band=512,
         sphere_seg_iters=6,
     )

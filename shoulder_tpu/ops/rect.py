@@ -110,58 +110,35 @@ def cyclic_runs(mask, max_runs: int):
 
 
 def run_chord_centroids(pts, run_id, ys, max_runs: int):
-    """Area centroid of each cut-off end cap.
+    """Representative point of each cut-off end cap: the mean of its arc
+    points.
 
-    Each cap is the polygon bounded by a contiguous contour arc plus the
-    straight chord closing it (the rectangle's shrunk end edge cuts the
-    polygon with a single line, so arc + chord is exact).  Uses the shoelace
-    centroid over the arc segments plus the chord segment.
+    The caps produced by end_slab_mask are hair-thin slivers — depth
+    (1 - yscale)/2 * major_extent, ~0.03 mm at the reference's
+    yscale=0.999 on a 65 mm distal slice — so the exact sliver-polygon
+    centroid (what shapely's difference + .centroid gives the reference,
+    epicondyle.py:56-81) and the arc-point mean agree to the sliver
+    depth, far inside the 0.5 mm parity tolerance.
+
+    An exact shoelace "arc + chord" centroid was tried and removed: a
+    sliver's true area is comparable to the f32 cancellation noise of the
+    cross products at bone-scale coordinates, so the centroid divides
+    noise by noise — observed as ~2 mm batch-size-dependent wander of the
+    transepicondylar endpoints on the reference fixtures.
+
+    `ys` is unused (kept for call-site compatibility).
 
     Returns (centroids (max_runs,2), counts (max_runs,), valid (max_runs,)).
     """
     pts = jnp.asarray(pts)
-    n = pts.shape[0]
-    nxt = jnp.roll(jnp.arange(n), -1)
     run_ok = run_id >= 0
-    # a segment belongs to a cap when both endpoints are in the same run
-    seg_same = run_ok & (run_id == run_id[nxt])
-    rid = jnp.where(seg_same, run_id, max_runs)  # dropped slot
-
-    p0 = pts
-    p1 = pts[nxt]
-    cr = p0[:, 0] * p1[:, 1] - p1[:, 0] * p0[:, 1]
-    z = jnp.zeros(max_runs + 1)
-    a2 = z.at[rid].add(jnp.where(seg_same, cr, 0.0))
-    cx = z.at[rid].add(jnp.where(seg_same, (p0[:, 0] + p1[:, 0]) * cr, 0.0))
-    cy = z.at[rid].add(jnp.where(seg_same, (p0[:, 1] + p1[:, 1]) * cr, 0.0))
-
-    # chord: from the arc's last point back to its first
-    rid_pts = jnp.where(run_ok, run_id, max_runs)
-    is_first = run_ok & (run_id != jnp.roll(run_id, 1))
-    is_last = run_ok & (run_id != run_id[nxt])
-    firsts = jnp.zeros((max_runs + 1, 2)).at[
-        jnp.where(is_first, rid_pts, max_runs)
-    ].add(jnp.where(is_first[:, None], pts, 0.0))
-    lasts = jnp.zeros((max_runs + 1, 2)).at[
-        jnp.where(is_last, rid_pts, max_runs)
-    ].add(jnp.where(is_last[:, None], pts, 0.0))
-    q0, q1 = lasts, firsts
-    crc = q0[:, 0] * q1[:, 1] - q1[:, 0] * q0[:, 1]
-    a2 = a2 + crc
-    cx = cx + (q0[:, 0] + q1[:, 0]) * crc
-    cy = cy + (q0[:, 1] + q1[:, 1]) * crc
-
+    rid_pts = jnp.where(run_ok, run_id, max_runs)  # dropped slot
     counts = jnp.zeros(max_runs + 1, dtype=jnp.int32).at[rid_pts].add(
         jnp.where(run_ok, 1, 0)
     )
-    area = 0.5 * a2
-    denom = jnp.where(jnp.abs(area) > 1e-9, 6.0 * area, 1.0)
-    cent = jnp.stack([cx, cy], axis=1) / denom[:, None]
-    # degenerate caps (tiny area): fall back to the mean of arc points
-    mean_pts = jnp.zeros((max_runs + 1, 2)).at[rid_pts].add(
+    sums = jnp.zeros((max_runs + 1, 2)).at[rid_pts].add(
         jnp.where(run_ok[:, None], pts, 0.0)
-    ) / jnp.maximum(counts, 1)[:, None]
-    use_mean = (jnp.abs(area) <= 1e-9)[:, None]
-    cent = jnp.where(use_mean, mean_pts, cent)
+    )
+    cent = sums / jnp.maximum(counts, 1)[:, None]
     valid = counts[:max_runs] > 0
     return cent[:max_runs], counts[:max_runs], valid

@@ -50,6 +50,9 @@ class SliceStack(NamedTuple):
     total_areas: jnp.ndarray  # (S,) sum of signed loop areas
     zs: jnp.ndarray          # (S,)
     overflow: jnp.ndarray    # (S,) bool: band window missed a crossing face
+    open_edges: jnp.ndarray  # (S,) bool: a crossed face had no crossed
+    #   neighbor across its exit edge (open boundary / torn mesh) — the
+    #   chain dead-ends there and the contour is truncated
 
 
 class RawLoop(NamedTuple):
@@ -172,10 +175,13 @@ def _crossing_segments(geom: FaceGeom, z):
     end = jnp.stack([px[rows, exit_slot], py[rows, exit_slot]], axis=1)
 
     succ_raw = geom.neighbors[rows, exit_slot]
-    succ = jnp.where(
-        crossed & (succ_raw >= 0) & (succ_raw < F), succ_raw, rows
-    )
-    # a successor that is itself uncrossed (non-watertight edge) dead-ends
+    has_nbr = (succ_raw >= 0) & (succ_raw < F)
+    succ = jnp.where(crossed & has_nbr, succ_raw, rows)
+    # a missing neighbor across the exit edge, or a successor that is
+    # itself uncrossed, dead-ends the chain (non-watertight boundary);
+    # flag it: downstream surfaces this as qc_open_edges (a torn mesh
+    # yields truncated contours that would otherwise look valid)
+    open_edge = crossed & ~(has_nbr & crossed[succ])
     succ = jnp.where(crossed[succ], succ, rows)
     # enforce injectivity: when the plane grazes a vertex, the orientation
     # sign of a near-zero-length segment is fp noise and TWO faces can
@@ -190,7 +196,7 @@ def _crossing_segments(geom: FaceGeom, z):
         .min(rows.astype(jnp.int32), mode="drop")
     )
     succ = jnp.where(linked & (pred_min[succ] != rows), rows, succ)
-    return crossed, start, end, succ
+    return crossed, start, end, succ, open_edge
 
 
 def _iters_for(n: int) -> int:
@@ -297,14 +303,14 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
         oid = orig_id if orig_id is not None else jnp.arange(F)
-        crossed, start, end, succ, oid_c, over_compact = _compact_slice(
-            geom, z, oid, compact
-        )
+        (crossed, start, end, succ, oid_c, over_compact,
+         open_any) = _compact_slice(geom, z, oid, compact)
         if orig_id is not None:
             orig_id = oid_c
         F = compact
     else:
-        crossed, start, end, succ = _crossing_segments(geom, z)
+        crossed, start, end, succ, open_edge = _crossing_segments(geom, z)
+        open_any = jnp.any(open_edge)
     lab = _label_loops(crossed, succ)
     area, centroid, count, _ = _loop_stats(crossed, start, end, lab, F)
     best = jnp.argmax(area[:F])
@@ -326,7 +332,8 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
     points = _order_loop(crossed, start, succ, lab, best, n_best, chain,
                          is_rep)
     contour = _resample(points, n_best, interp_num, chain)
-    return contour, centroid[best], area[best], jnp.sum(area[:F]), over_compact
+    return (contour, centroid[best], area[best], jnp.sum(area[:F]),
+            over_compact, open_any)
 
 
 def _compact_slice(win: FaceGeom, z, orig_id, k: int):
@@ -337,7 +344,7 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
     unbatched one, and compaction must be permutation-deterministic.
     """
     F = win.fvz.shape[0]
-    crossed, start, end, succ = _crossing_segments(win, z)
+    crossed, start, end, succ, open_edge = _crossing_segments(win, z)
     over = jnp.sum(crossed) > k
     keys = jnp.where(crossed, 0, F) + jnp.arange(F, dtype=jnp.int32)
     order = jnp.argsort(keys)[:k]
@@ -353,7 +360,8 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
     succ_c = jnp.where(succ_w >= 0, inv[jnp.clip(succ_w, 0, F - 1)], -1)
     rows = jnp.arange(k)
     succ_c = jnp.where(crossed_c & (succ_c >= 0), succ_c, rows)
-    return crossed_c, start_c, end_c, succ_c, orig_id[order], over
+    return (crossed_c, start_c, end_c, succ_c, orig_id[order], over,
+            jnp.any(open_edge))
 
 
 def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
@@ -425,14 +433,14 @@ def slice_stack(
 
         def prep(z):
             win, orig, overflow = _window(sg, z, band)
-            crossed, start, end, succ, orig_c, over = _compact_slice(
+            crossed, start, end, succ, orig_c, over, open_e = _compact_slice(
                 win, z, orig, k
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
-                    overflow | over)
+                    overflow | over, open_e)
 
-        succ, crossed, start, end, orig, overflow = jax.lax.map(
+        succ, crossed, start, end, orig, overflow, open_edges = jax.lax.map(
             prep, zs, batch_size=chunk
         )
         interpret = jax.default_backend() != "tpu"
@@ -444,20 +452,21 @@ def slice_stack(
             functools.partial(_post_walk, interp_num=interp_num)
         )(order, loop_id, nvis[:, 0], start, end, orig)
         return SliceStack(contours, centroids, areas, total_areas, zs,
-                          overflow)
+                          overflow, open_edges)
 
     def one(z):
         win, orig, overflow = _window(sg, z, band)
-        c, cen, a, ta, over_c = _slice_one(
+        c, cen, a, ta, over_c, open_e = _slice_one(
             win, z, interp_num, max_chain, orig_id=orig,
             compact=min(512, band),
         )
-        return c, cen, a, ta, overflow | over_c
+        return c, cen, a, ta, overflow | over_c, open_e
 
-    contours, centroids, areas, total_areas, overflow = jax.lax.map(
-        one, zs, batch_size=chunk
+    contours, centroids, areas, total_areas, overflow, open_edges = (
+        jax.lax.map(one, zs, batch_size=chunk)
     )
-    return SliceStack(contours, centroids, areas, total_areas, zs, overflow)
+    return SliceStack(contours, centroids, areas, total_areas, zs, overflow,
+                      open_edges)
 
 
 def plane_section_points(verts, faces, origin, normal):
@@ -515,7 +524,7 @@ def slice_raw(
     """
     geom = face_geom(verts, faces, neighbors)
     F = geom.fvz.shape[0]
-    crossed, start, end, succ = _crossing_segments(geom, z)
+    crossed, start, end, succ, _ = _crossing_segments(geom, z)
     lab = _label_loops(crossed, succ)
     area, centroid, count, mean_pt = _loop_stats(crossed, start, end, lab, F)
     if select == "largest":

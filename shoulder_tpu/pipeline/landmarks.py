@@ -79,6 +79,9 @@ class Landmarks(NamedTuple):
     qc_sphere_resid: jnp.ndarray
     qc_canal_fit_rms: jnp.ndarray
     qc_slice_overflow: jnp.ndarray  # () bool: slice band too small
+    qc_open_edges: jnp.ndarray  # () bool: a slicing plane hit an open
+    #   mesh boundary (torn / non-watertight input) and a contour chain
+    #   dead-ended — downstream contours may be truncated
 
 
 def _cutoff_bounds(n: int, cutoff):
@@ -159,7 +162,7 @@ def _raw_loop_at(bone: BoneTensors, z, max_chain, select):
         bone.faces, bone.neighbors,
     )
     F = bone.faces.shape[0]
-    crossed, start, end, succ = slicing._crossing_segments(geom_f, z)
+    crossed, start, end, succ, _ = slicing._crossing_segments(geom_f, z)
     lab = slicing._label_loops(crossed, succ)
     area, centroid, count, mean_pt = slicing._loop_stats(
         crossed, start, end, lab, F
@@ -527,7 +530,7 @@ def compute_landmarks(
     )
     full = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_full,
-        cfg.full.interp_num, cfg.max_chain, chunk, cfg.slice_band,
+        cfg.full.interp_num, cfg.max_chain, chunk, cfg.full.band,
     )
 
     # B: surgical neck
@@ -541,7 +544,7 @@ def compute_landmarks(
     )
     prox = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_prox,
-        cfg.proximal.interp_num, cfg.max_chain, chunk, cfg.slice_band,
+        cfg.proximal.interp_num, cfg.max_chain, chunk, cfg.proximal.band,
     )
 
     # D: canal
@@ -561,6 +564,7 @@ def compute_landmarks(
 
     # G: transepicondylar (full bones only)
     overflow = jnp.any(full.overflow) | jnp.any(prox.overflow)
+    open_edges = jnp.any(full.open_edges) | jnp.any(prox.open_edges)
     if proximal:
         te_axis = jnp.zeros((2, 3), jnp.float32)
     else:
@@ -569,12 +573,13 @@ def compute_landmarks(
         )
         distal = slicing.slice_stack(
             verts_obb, bone.faces, bone.neighbors, zs_dist,
-            cfg.distal.interp_num, cfg.max_chain, chunk, cfg.slice_band,
+            cfg.distal.interp_num, cfg.max_chain, chunk, cfg.distal.band,
         )
         te_axis = _transepicondylar(
             distal, bone, canal_axis, axis_central, cfg
         )
         overflow = overflow | jnp.any(distal.overflow)
+        open_edges = open_edges | jnp.any(distal.open_edges)
 
     # H: metrics
     side_is_left, retro, neckshaft = _metrics(
@@ -607,4 +612,5 @@ def compute_landmarks(
         qc_sphere_resid=sph_resid,
         qc_canal_fit_rms=canal_rms,
         qc_slice_overflow=overflow,
+        qc_open_edges=open_edges,
     )

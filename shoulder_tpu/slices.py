@@ -53,7 +53,7 @@ class SliceSet:
                 self._family.interp_num,
                 self._cfg.max_chain,
                 50,
-                self._cfg.slice_band,
+                self._family.band,
             )
             self._stack = {
                 "contours": np.asarray(st.contours, np.float64),

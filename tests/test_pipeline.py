@@ -247,6 +247,35 @@ def test_cohort_api(synth_spec, tiny_cfg, tmp_path):
     assert np.isfinite(summ["neckshaft_mean"])
 
 
+def test_open_edges_qc(synth_spec, tiny_cfg, tmp_path):
+    """A torn (non-watertight) mesh must raise qc_open_edges, and a healthy
+    bone sharing its batch must be unaffected (per-bone failure isolation,
+    SURVEY.md §5).  The reference's only guard is a load-time warning
+    (mesh.py:24-27); the truncated contours themselves go unflagged."""
+    v, f = np.asarray(synth_spec.vertices_raw), np.asarray(synth_spec.faces_raw)
+    cent = v[f].mean(axis=1)
+    seed = cent[len(f) // 2]
+    scale = np.linalg.norm(v.max(0) - v.min(0))
+    keep = np.linalg.norm(cent - seed, axis=1) > 0.04 * scale
+    assert 3 < (~keep).sum() < len(f) // 4
+    p = tmp_path / "torn.stl"
+    stl.write_stl(p, v, f[keep])
+    with pytest.warns(UserWarning, match="not watertight"):
+        spec_torn = ingest.load_bone(p, config=tiny_cfg)
+
+    bt = B.stack_bones([synth_spec, spec_torn])
+    lm = B.landmarks_to_numpy(B.compute_landmarks_batch(bt, cfg=tiny_cfg,
+                                                        chunk=16))
+    assert bool(lm.qc_open_edges[1])
+    assert not bool(lm.qc_open_edges[0])
+    solo = B.landmarks_to_numpy(
+        B.compute_landmarks_batch(B.stack_bones([synth_spec]), cfg=tiny_cfg,
+                                  chunk=16)
+    )
+    assert lm.neckshaft[0] == pytest.approx(float(solo.neckshaft[0]),
+                                            abs=1e-3)
+
+
 def test_landmark_params_honored(synth_spec, tiny_cfg, tmp_path):
     """Non-default reference-API parameters must change the outputs
     (canal.py:19, bicipital_groove.py:26) instead of being silently

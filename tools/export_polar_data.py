@@ -40,7 +40,7 @@ def polar_pairs(stl_paths, cfg=None):
         )
         full = slicing.slice_stack(
             verts_obb, bt.faces, bt.neighbors, zs_full,
-            cfg.full.interp_num, cfg.max_chain, 50, cfg.slice_band,
+            cfg.full.interp_num, cfg.max_chain, 50, cfg.full.band,
         )
         neck_z, _, _ = L._surgical_neck(full, bt, False, cfg, cfg.max_chain)
         zs_prox = jnp.linspace(
@@ -48,7 +48,7 @@ def polar_pairs(stl_paths, cfg=None):
         )
         prox = slicing.slice_stack(
             verts_obb, bt.faces, bt.neighbors, zs_prox,
-            cfg.proximal.interp_num, cfg.max_chain, 50, cfg.slice_band,
+            cfg.proximal.interp_num, cfg.max_chain, 50, cfg.proximal.band,
         )
         _, _, canal_axis, _, _ = L._canal(full, bt, False, cfg)
         _, _, bg_theta, _ = L._groove(prox, bt, canal_axis, rf, cfg, chunk=16)

@@ -67,7 +67,7 @@ def main():
     def stack(v, z, n):
         return slicing.slice_stack(
             v, bt.faces, bt.neighbors, z, n, cfg.max_chain, 50,
-            cfg.slice_band,
+            cfg.proximal.band,
         )
 
     full = timeit("A slice_stack 200x100",
