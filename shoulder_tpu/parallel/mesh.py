@@ -58,16 +58,56 @@ def sharded_landmark_fn(
 
 
 def cohort_stats(landmarks, mesh: Mesh, axis: str = "bone"):
-    """Example cross-bone collective: cohort means of the clinical metrics
-    (all_gather/psum over ICI; the only cross-device comm in the system)."""
+    """Cross-bone cohort statistics as an explicit SPMD collective.
 
-    @jax.jit
-    def stats(lm):
-        return {
-            "mean_retroversion": jnp.nanmean(lm.retroversion),
-            "mean_neckshaft": jnp.nanmean(lm.neckshaft),
-            "mean_radius": jnp.nanmean(lm.radius_curvature),
-            "left_fraction": jnp.mean(lm.side_is_left.astype(jnp.float32)),
-        }
+    Each device reduces its local shard of the bone batch to (count, sum,
+    sum-of-squares) per metric, then a `jax.lax.psum` over the bone axis
+    combines the partial moments over ICI — one small all-reduce instead
+    of gathering per-bone values to one device.  NaN lanes (isolated
+    failed bones) are excluded from the moments, so one bad bone cannot
+    poison the cohort numbers.  Returns replicated scalars:
+    mean/std/n per metric plus the left-side fraction.
+    """
+    fn = _cohort_stats_fn(mesh, axis)
+    return fn(landmarks.retroversion, landmarks.neckshaft,
+              landmarks.radius_curvature, landmarks.side_is_left)
 
-    return stats(landmarks)
+
+def _cohort_stats_fn(mesh: Mesh, axis: str = "bone"):
+    """The jitted shard_map program behind cohort_stats (exposed so tests
+    can assert the psum collective is present in the jaxpr)."""
+    spec = P(axis)
+
+    def local(retro, ns, rad, left):
+        def moments(x):
+            ok = jnp.isfinite(x)
+            parts = jnp.stack([
+                jnp.sum(ok.astype(jnp.float32)),
+                jnp.sum(jnp.where(ok, x, 0.0)),
+                jnp.sum(jnp.where(ok, x * x, 0.0)),
+            ])
+            n, s, ss = jax.lax.psum(parts, axis)
+            mean = s / jnp.maximum(n, 1.0)
+            var = jnp.maximum(ss / jnp.maximum(n, 1.0) - mean * mean, 0.0)
+            return mean, jnp.sqrt(var), n
+
+        out = {}
+        for name, x in (("retroversion", retro), ("neckshaft", ns),
+                        ("radius", rad)):
+            mean, std, n = moments(x)
+            out[f"mean_{name}"] = mean
+            out[f"std_{name}"] = std
+            out[f"n_{name}"] = n
+        nl = jax.lax.psum(
+            jnp.stack([jnp.sum(left.astype(jnp.float32)),
+                       jnp.asarray(float(left.shape[0]), jnp.float32)]),
+            axis,
+        )
+        out["left_fraction"] = nl[0] / jnp.maximum(nl[1], 1.0)
+        return out
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=P(),
+    ))

@@ -97,8 +97,24 @@ def test_sharded_equals_unsharded(synth_spec, tiny_cfg):
     assert np.allclose(out.neckshaft, ref.neckshaft, atol=1e-3)
     assert np.allclose(out.canal_axis, ref.canal_axis, atol=1e-2)
 
+    # cohort_stats is a real SPMD collective: psum in the jaxpr, values
+    # equal to host nan-aware statistics over the same batch
+    jaxpr = str(jax.make_jaxpr(
+        pmesh._cohort_stats_fn(mesh),
+    )(out.retroversion, out.neckshaft, out.radius_curvature,
+      out.side_is_left))
+    assert "psum" in jaxpr
     stats = pmesh.cohort_stats(out, mesh)
-    assert np.isfinite(float(stats["mean_neckshaft"]))
+    assert float(stats["mean_neckshaft"]) == pytest.approx(
+        float(np.nanmean(ref.neckshaft)), abs=1e-3
+    )
+    assert float(stats["std_neckshaft"]) == pytest.approx(
+        float(np.nanstd(ref.neckshaft)), abs=1e-3
+    )
+    assert int(stats["n_neckshaft"]) == n
+    assert float(stats["left_fraction"]) == pytest.approx(
+        float(np.mean(ref.side_is_left)), abs=1e-6
+    )
 
 
 def test_facade_readme_flow(synth_spec, tiny_cfg, tmp_path):
