@@ -137,4 +137,8 @@ def tiny_config(max_faces: int = 8192, max_verts: int = 6144) -> PipelineConfig:
         max_verts=max_verts,
         max_chain=512,
         sphere_seg_iters=6,
+        # the CNN's polar-image resolution is load-bearing (reference
+        # slice.py:236-237); at CI-scale resolutions it is out of domain,
+        # so tiny configs always use the classical segmenter
+        segmenter="sphere",
     )

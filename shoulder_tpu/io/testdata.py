@@ -36,12 +36,19 @@ def synthetic_humerus(
     head_flattening: float = 0.0,     # 0..~0.3: flattens the articular dome
     osteophyte_amp: float = 0.0,      # mm: marginal osteophyte ridge height
     surface_noise: float = 0.0,       # mm: rough cartilage loss
+    return_head_label: bool = False,
 ):
     """Returns (vertices (V,3), faces (F,3)) of a watertight synthetic bone.
 
     Canonical build frame: z in [0, length], head at high z.  If
     `rng_transform` is given, a random rigid transform is applied to mimic an
     arbitrary CT frame.
+
+    With `return_head_label`, also returns a per-vertex bool marking
+    vertices whose radius was set by the articular head branch — exact
+    generative supervision for the articular-surface segmenter (labels
+    survive the arthritic deformations: a flattened dome is still
+    articular, which is precisely where a fit-residual label would lie).
     """
     z0 = 0.55 * length if proximal_only else 0.0
     zs = np.linspace(z0, length, n_rings)
@@ -83,6 +90,7 @@ def synthetic_humerus(
     hit = disc > 0
     r_head = np.where(hit, b + np.sqrt(np.maximum(disc, 0.0)), -np.inf)
     blend = _smoothstep(zz, 0.70 * length, 0.78 * length)
+    head_wins = hit & (r_head * blend > r)
     r = np.maximum(r, np.where(hit, r_head * blend + r * 0.0, -np.inf))
     r = np.maximum(r, shaft_radius * (1.0 - 0.35 * _smoothstep(zz, 0.9 * length, length)))
 
@@ -154,4 +162,9 @@ def synthetic_humerus(
         t = rng_transform.uniform(-100, 100, size=3)
         verts = verts @ rot.T + t
 
+    if return_head_label:
+        label = np.concatenate(
+            [head_wins.reshape(-1), [False, False]]  # the two cap apexes
+        )
+        return verts, faces, label
     return verts, faces

@@ -51,6 +51,7 @@ def sphere_segment(
     iters: int = 12,
     tol_mm: float = 2.0,
     init_top_rows: float = 0.3,
+    init_mask=None,
 ):
     """Segment the articular surface by robust sphere consensus.
 
@@ -61,13 +62,25 @@ def sphere_segment(
       tol_mm: inlier tolerance in mm.
       init_top_rows: initial inlier band as a fraction of rows from the top
         (the top of the head is articular by construction).
+      init_mask: optional (R, C) {0,1} initial inlier set overriding the
+        top-rows heuristic.  The UNet segmenter path passes its predicted
+        mask here: the CNN provides the unary proposal and this consensus
+        pass is the geometric-consistency refinement (the analog of the
+        reference's CRF stage, anatomic_neck.py:62 "unetcrf").
 
     Returns (mask (R, C) float {0,1}, radius, center, mean_resid).
     """
     r, c = points.shape[0], points.shape[1]
     pts = points.reshape(-1, 3)
-    row_of = jnp.repeat(jnp.arange(r), c)
-    w = (row_of < int(init_top_rows * r)).astype(pts.dtype)
+    if init_mask is None:
+        row_of = jnp.repeat(jnp.arange(r), c)
+        w = (row_of < int(init_top_rows * r)).astype(pts.dtype)
+    else:
+        w = init_mask.reshape(-1).astype(pts.dtype)
+        # a near-empty proposal can't seed a fit; fall back to the heuristic
+        row_of = jnp.repeat(jnp.arange(r), c)
+        w_heur = (row_of < int(init_top_rows * r)).astype(pts.dtype)
+        w = jnp.where(jnp.sum(w) < 32, w_heur, w)
 
     def fit(w):
         # mean-center for f32 conditioning (see fits.fit_sphere)

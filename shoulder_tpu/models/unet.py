@@ -67,6 +67,27 @@ class UNet(nn.Module):
         return logits  # (B, H, W, 1); mask = logits > 0
 
 
+_default_params_cache: list = []
+
+
+def load_default_params():
+    """The shipped articular-UNet checkpoint, loaded once per process.
+
+    Returns None when no checkpoint is available (the pipeline then falls
+    back to the sphere-consensus segmenter).  The reference re-created its
+    ONNX InferenceSession on every points() call (anatomic_neck.py:62-69);
+    loading once is the deliberate fix (SURVEY.md §5 checkpoint/resume).
+    """
+    if not _default_params_cache:
+        from shoulder_tpu.models import unet_train
+
+        try:
+            _default_params_cache.append(unet_train.load_params())
+        except Exception:  # unreadable/corrupt checkpoint -> sphere fallback
+            _default_params_cache.append(None)
+    return _default_params_cache[0]
+
+
 def segment_image(params, image, levels: int = 3):
     """(H, W) normalized polar image -> (H, W) float mask via the UNet.
 

@@ -108,6 +108,36 @@ def bce_loss(params, model, images, labels):
     return jnp.mean(loss)
 
 
+def _boundary_weight(labels, amp: float = 4.0, halo: int = 5):
+    """Per-pixel weight emphasising a halo around the mask boundary.
+
+    The metrics downstream (neck-shaft, retroversion) are driven entirely
+    by where the mask EDGE lands (the plane is fit to edge pixels,
+    landmarks._anatomic_neck), so boundary pixels carry most of the loss.
+    """
+    import flax.linen as nn
+
+    y = labels[..., 0]
+    ez = jnp.abs(jnp.diff(y, axis=1, prepend=y[:, :1]))
+    et = jnp.abs(jnp.diff(y, axis=2, prepend=y[:, :, :1]))
+    e = jnp.maximum(ez, et)[..., None]
+    e = nn.max_pool(e, (halo, halo), strides=(1, 1), padding="SAME")
+    return 1.0 + amp * e
+
+
+def dice_bce_loss(params, model, images, labels, boundary_amp: float = 4.0):
+    """Boundary-weighted BCE + soft dice (region-overlap) loss."""
+    logits = model.apply(params, images)
+    w = _boundary_weight(labels, boundary_amp)
+    bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+    bce = jnp.sum(w * bce) / jnp.sum(w)
+    p = jax.nn.sigmoid(logits)
+    inter = jnp.sum(p * labels, axis=(1, 2, 3))
+    denom = jnp.sum(p, axis=(1, 2, 3)) + jnp.sum(labels, axis=(1, 2, 3))
+    dice = 1.0 - jnp.mean((2.0 * inter + 1.0) / (denom + 1.0))
+    return bce + dice
+
+
 def train(
     steps: int = 500,
     batch: int = 8,
@@ -186,6 +216,84 @@ def dryrun(mesh, batch: int = 8, image_size: int = 64) -> None:
 
     params, opt_state, loss = step(params, opt_state, images, labels)
     jax.block_until_ready(loss)
+
+
+def train_mixture(
+    corpus_images,
+    corpus_masks,
+    steps: int = 3000,
+    batch: int = 16,
+    size: int = 512,
+    lr: float = 3e-4,
+    seed: int = 0,
+    frac_procedural: float = 0.25,
+    boundary_amp: float = 4.0,
+    log_every: int = 100,
+    init_params=None,
+):
+    """Train on a mixture of pipeline-extracted corpus pairs and the
+    procedural polar generator.
+
+    The corpus (tools/make_unet_corpus.py + real-fixture pairs) carries the
+    pipeline's true image distribution — groove-anchored roll, real
+    normalization, surgical-neck windowing — which the round-1
+    procedural-only training lacked (the 15-degree neck-shaft gap was a
+    domain-gap symptom).  The procedural stream stays in the mix as an
+    infinite-variety regularizer.  Corpus samples are augmented with random
+    theta rolls (the image axis is periodic) and mild noise.
+    """
+    model = UNet()
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params = init_params
+    if params is None:
+        params = model.init(init_key, jnp.zeros((1, size, size, 1)))
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    corpus_images = np.asarray(corpus_images, np.float32)
+    corpus_masks = np.asarray(corpus_masks, np.float32)
+    n_proc = max(1, int(round(batch * frac_procedural)))
+    n_corp = batch - n_proc
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(dice_bce_loss)(
+            params, model, images, labels, boundary_amp
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def augment(key, images, labels):
+        k1, k2 = jax.random.split(key)
+        shift = jax.random.randint(k1, (images.shape[0],), 0, size)
+        roll = lambda a, s: jnp.roll(a, s, axis=-1)
+        images = jax.vmap(roll)(images, shift)
+        labels = jax.vmap(roll)(labels, shift)
+        images = images + 0.01 * jax.random.normal(k2, images.shape)
+        return images[..., None], labels[..., None]
+
+    gen = jax.jit(functools.partial(synth_polar_batch, batch=n_proc,
+                                    size=size))
+    rng = np.random.default_rng(seed)
+    losses = []
+    for i in range(steps):
+        key, dk, ak = jax.random.split(key, 3)
+        idx = rng.integers(0, corpus_images.shape[0], n_corp)
+        ci, cm = augment(ak, corpus_images[idx], corpus_masks[idx])
+        if n_proc:
+            pi, pm = gen(dk)
+            images = jnp.concatenate([ci, pi])
+            labels = jnp.concatenate([cm, pm])
+        else:
+            images, labels = ci, cm
+        params, opt_state, loss = step(params, opt_state, images, labels)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append(float(loss))
+            print(f"[unet] step {i} loss {float(loss):.4f}", flush=True)
+    return params, losses
 
 
 # ----------------------------------------------------------- checkpoint

@@ -69,6 +69,48 @@ def savgol_filter(x, window: int, polyorder: int):
     return out
 
 
+def _sparse_tables(x, levels: int):
+    """Range min/max sparse tables over x.
+
+    Returns (min_tab, amin_lo, amin_hi, max_tab), each (levels+1, n):
+    level l covers the window [i, i + 2^l) (clamped at n, padded with
+    +/-inf).  amin_lo breaks argmin ties toward the SMALLER index,
+    amin_hi toward the LARGER — both tie directions are needed to match
+    scipy's left/right base walks.
+    """
+    n = x.shape[0]
+    inf = jnp.array(_BIG, x.dtype)
+    mn = [x]
+    mx = [x]
+    a_lo = [jnp.arange(n, dtype=jnp.int32)]
+    a_hi = [jnp.arange(n, dtype=jnp.int32)]
+    for l in range(1, levels + 1):
+        h = 1 << (l - 1)
+        mn_r = jnp.concatenate([mn[-1][h:], jnp.full(h, inf)])
+        mx_r = jnp.concatenate([mx[-1][h:], jnp.full(h, -inf)])
+        al_r = jnp.concatenate(
+            [a_lo[-1][h:], jnp.zeros(h, jnp.int32)]
+        )
+        ah_r = jnp.concatenate(
+            [a_hi[-1][h:], jnp.zeros(h, jnp.int32)]
+        )
+        take_r_lo = mn_r < mn[-1]            # strict: ties stay left
+        take_r_hi = mn_r <= mn[-1]           # ties go right
+        a_lo.append(jnp.where(take_r_lo, al_r, a_lo[-1]))
+        a_hi.append(jnp.where(take_r_hi, ah_r, a_hi[-1]))
+        mn.append(jnp.minimum(mn[-1], mn_r))
+        mx.append(jnp.maximum(mx[-1], mx_r))
+    return (jnp.stack(mn), jnp.stack(a_lo), jnp.stack(a_hi), jnp.stack(mx))
+
+
+def _floor_log2(length, levels: int):
+    """floor(log2(length)) for integer length >= 1, branch-free."""
+    l = jnp.zeros_like(length)
+    for k in range(1, levels + 1):
+        l = l + (length >= (1 << k)).astype(length.dtype)
+    return l
+
+
 @functools.partial(jax.jit, static_argnames=("max_peaks",))
 def find_peaks(x, height: float, prominence: float, width: float,
                max_peaks: int = 16):
@@ -77,9 +119,17 @@ def find_peaks(x, height: float, prominence: float, width: float,
     Returns a dict of fixed-size (max_peaks,) arrays sorted by descending
     prominence, with `valid` marking real peaks:
       idx, prominences, widths, width_heights, valid, n_peaks.
+
+    O(n log n) via sparse-table range queries (the round-1 O(n^2) masked
+    formulation was the groove stage's HBM bottleneck at n=512 x 330
+    slices x batch): previous/next strictly-greater elements by binary
+    descent on a range-max table, interval minima/bases by O(1)
+    two-block range-min queries with scipy's tie directions, and the
+    width crossing points by threshold descent on the range-min table.
     """
     x = jnp.asarray(x)
     n = x.shape[0]
+    levels = max(1, int(np.ceil(np.log2(n))))
     i = jnp.arange(n)
 
     left = jnp.concatenate([jnp.array([_BIG], x.dtype), x[:-1]])
@@ -87,40 +137,66 @@ def find_peaks(x, height: float, prominence: float, width: float,
     is_peak = (x > left) & (x > right)
     is_peak = is_peak & (x >= height)
 
-    # pairwise masks (n, n): axis 0 = peak position p, axis 1 = candidate j
-    xp = x[:, None]
-    xj = x[None, :]
-    jj = i[None, :]
-    pp = i[:, None]
+    min_tab, amin_lo, amin_hi, max_tab = _sparse_tables(x, levels)
 
-    greater = xj > xp
-    # previous strictly-greater element (exclusive), -1 if none
-    lmask = greater & (jj < pp)
-    lb_bound = jnp.max(jnp.where(lmask, jj, -1), axis=1)
-    # next strictly-greater element, n if none
-    rmask = greater & (jj > pp)
-    rb_bound = jnp.min(jnp.where(rmask, jj, n), axis=1)
+    def rng_min(lo, hi_incl, amin_tab):
+        """(min, argmin) over [lo, hi_incl], per-element vectors."""
+        length = hi_incl - lo + 1
+        l = _floor_log2(jnp.maximum(length, 1), levels)
+        s2 = hi_incl - (1 << l) + 1
+        m1 = min_tab[l, lo]
+        m2 = min_tab[l, s2]
+        a1 = amin_tab[l, lo]
+        a2 = amin_tab[l, s2]
+        if amin_tab is amin_hi:  # ties toward the larger index
+            take2 = m2 <= m1
+        else:                    # ties toward the smaller index
+            take2 = m2 < m1
+        return jnp.minimum(m1, m2), jnp.where(take2, a2, a1)
 
-    # left interval (lb_bound, p]; min value, base = largest argmin (ties
-    # toward the peak, matching scipy's walk)
-    linterval = (jj > lb_bound[:, None]) & (jj <= pp)
-    lvals = jnp.where(linterval, xj, _BIG)
-    lmin = jnp.min(lvals, axis=1)
-    lbase = jnp.max(jnp.where(lvals == lmin[:, None], jj, -1), axis=1)
+    # previous strictly-greater element: binary descent of the exclusive
+    # upper bound u over blocks [u - 2^l, u) whose max is <= x[p]
+    u = i
+    for l in range(levels, -1, -1):
+        blk = 1 << l
+        s = u - blk
+        can = s >= 0
+        bmax = max_tab[l, jnp.maximum(s, 0)]
+        skip = can & (bmax <= x)
+        u = jnp.where(skip, s, u)
+    lb_bound = u - 1                               # -1 if none
 
-    rinterval = (jj < rb_bound[:, None]) & (jj >= pp)
-    rvals = jnp.where(rinterval, xj, _BIG)
-    rmin = jnp.min(rvals, axis=1)
-    rbase = jnp.min(jnp.where(rvals == rmin[:, None], jj, n), axis=1)
+    # next strictly-greater element: mirror, scanning right from p+1
+    v = i + 1
+    for l in range(levels, -1, -1):
+        blk = 1 << l
+        can = v + blk <= n
+        bmax = max_tab[l, jnp.minimum(v, n - 1)]
+        skip = can & (bmax <= x)
+        v = jnp.where(skip, v + blk, v)
+    rb_bound = v                                   # n if none
+
+    # left interval (lb_bound, p]: min and largest argmin (ties toward the
+    # peak, matching scipy's walk); right interval [p, rb_bound) mirrored
+    lmin, lbase = rng_min(jnp.maximum(lb_bound + 1, 0), i, amin_hi)
+    rmin, rbase = rng_min(i, jnp.minimum(rb_bound - 1, n - 1), amin_lo)
 
     prom = x - jnp.maximum(lmin, rmin)
 
     # widths at rel_height=0.5 (scipy default)
     wh = x - 0.5 * prom
-    # left crossing: largest j in [lbase, p] with x[j] <= wh
-    lcross_mask = (jj >= lbase[:, None]) & (jj <= pp) & (xj <= wh[:, None])
-    lj = jnp.max(jnp.where(lcross_mask, jj, -1), axis=1)
-    lj = jnp.clip(lj, 0, n - 1)
+    # left crossing: largest j in [lbase, p] with x[j] <= wh, found by
+    # descending u over blocks whose min stays above the threshold (a
+    # crossing always exists: x[lbase] <= wh by construction)
+    u = i + 1
+    for l in range(levels, -1, -1):
+        blk = 1 << l
+        s = u - blk
+        can = s >= lbase
+        bmin = min_tab[l, jnp.maximum(s, 0)]
+        skip = can & (bmin > wh)
+        u = jnp.where(skip, s, u)
+    lj = jnp.clip(u - 1, 0, n - 1)
     ljn = jnp.clip(lj + 1, 0, n - 1)
     denom_l = x[ljn] - x[lj]
     frac_l = jnp.where(
@@ -130,9 +206,15 @@ def find_peaks(x, height: float, prominence: float, width: float,
     )
     left_ip = jnp.where(x[lj] < wh, lj + frac_l, lj.astype(x.dtype))
 
-    rcross_mask = (jj <= rbase[:, None]) & (jj >= pp) & (xj <= wh[:, None])
-    rj = jnp.min(jnp.where(rcross_mask, jj, n), axis=1)
-    rj = jnp.clip(rj, 0, n - 1)
+    # right crossing: smallest j in [p, rbase] with x[j] <= wh
+    v = i
+    for l in range(levels, -1, -1):
+        blk = 1 << l
+        can = v + blk <= rbase + 1
+        bmin = min_tab[l, jnp.minimum(v, n - 1)]
+        skip = can & (bmin > wh)
+        v = jnp.where(skip, v + blk, v)
+    rj = jnp.clip(v, 0, n - 1)
     rjp = jnp.clip(rj - 1, 0, n - 1)
     denom_r = x[rjp] - x[rj]
     frac_r = jnp.where(

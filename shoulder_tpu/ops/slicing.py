@@ -32,12 +32,16 @@ import numpy as np
 
 
 class FaceGeom(NamedTuple):
-    """Per-bone, z-independent face data precomputed once per mesh."""
+    """Per-bone, z-independent face data precomputed once per mesh.
+
+    Segment orientation needs no face normal: it is decided combinatorially
+    from the vertex sign pattern (see _crossing_topology), so vertex
+    coordinates + adjacency are the whole state.
+    """
 
     fvx: jnp.ndarray      # (F,3) x of the 3 vertices of each face
     fvy: jnp.ndarray      # (F,3)
     fvz: jnp.ndarray      # (F,3)
-    dir2d: jnp.ndarray    # (F,2) z_hat x face_normal (xy part)
     neighbors: jnp.ndarray  # (F,3) neighbor face across edge slot k
 
 
@@ -64,11 +68,9 @@ class RawLoop(NamedTuple):
 
 def face_geom(verts, faces, neighbors) -> FaceGeom:
     fv = verts[faces]  # (F,3,3)
-    n = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
-    dir2d = jnp.stack([-n[:, 1], n[:, 0]], axis=1)
     return FaceGeom(
         fvx=fv[:, :, 0], fvy=fv[:, :, 1], fvz=fv[:, :, 2],
-        dir2d=dir2d, neighbors=neighbors,
+        neighbors=neighbors,
     )
 
 
@@ -109,7 +111,7 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
     nbr = jnp.where(neighbors >= 0, inv[neighbors], -1)[order]
     sg = FaceGeom(
         fvx=g.fvx[order], fvy=g.fvy[order], fvz=g.fvz[order],
-        dir2d=g.dir2d[order], neighbors=nbr,
+        neighbors=nbr,
     )
     zmn = z_min[order]
     cmx = jax.lax.cummax(z_max[order])
@@ -118,30 +120,48 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
 
 def _window(sg: SortedGeom, z, band: int):
     """The (band,) face window containing every face crossing plane z,
-    plus an overflow flag (true would mean the band is too small)."""
+    plus an overflow flag (true would mean the band is too small).
+
+    Windows are contiguous slabs of the z-sorted order, so they are cut
+    with dynamic_slice (not row gathers): under the per-slice vmap this
+    lowers to one slab-sized gather per slice — a memcpy, not band
+    scattered row fetches.  Measured 2.3x on the 600x512 proximal stack.
+    """
     start = jnp.searchsorted(sg.z_min, z)
     lo = jnp.clip(start - band, 0, sg.z_min.shape[0] - band)
-    idx = lo + jnp.arange(band)
     g = sg.geom
+
+    def cut(a):
+        return jax.lax.dynamic_slice_in_dim(a, lo, band)
+
+    nbr = cut(g.neighbors)
     win = FaceGeom(
-        fvx=g.fvx[idx], fvy=g.fvy[idx], fvz=g.fvz[idx],
-        dir2d=g.dir2d[idx],
+        fvx=cut(g.fvx), fvy=cut(g.fvy), fvz=cut(g.fvz),
         # translate neighbor ids into window-local coordinates
-        neighbors=jnp.where(
-            g.neighbors[idx] >= 0, g.neighbors[idx] - lo, -1
-        ),
+        neighbors=jnp.where(nbr >= 0, nbr - lo, -1),
     )
     # a face below the window with z_max >= z would be a missed crossing
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
-    return win, sg.orig_id[idx], overflow
+    return win, cut(sg.orig_id), overflow
 
 
-def _crossing_segments(geom: FaceGeom, z):
-    """Oriented intersection segments of every face with plane z.
+def _crossing_topology(geom: FaceGeom, z):
+    """Combinatorial crossing structure of every face with plane z —
+    no intersection points computed (those are deferred to the compacted
+    face set, `_segment_points`, which is ~2x smaller than the band).
 
-    Returns (crossed (F,), start (F,2), end (F,2), succ (F,)) where succ is
-    the next face along the loop (self for uncrossed faces).
+    Orientation is combinatorial, not metric: with CCW winding (outward
+    normal n) the in-plane traversal direction is z-hat x n, and the
+    traversal always ENTERS through the (+ -> -) crossed edge and EXITS
+    through the (- -> +) one (marching-triangles invariant).  The sign
+    pattern of d is deterministic; a geometric test (dot of the segment
+    with dir2d) is fp noise whenever the plane grazes a vertex and the
+    segment is near zero-length, and it flips between differently-fused
+    XLA programs (batched vs unbatched) — changing the loop topology.
+
+    Returns (crossed (F,), entry_slot (F,), exit_slot (F,), succ (F,),
+    open_edge (F,)).
     """
     F = geom.fvz.shape[0]
     d = geom.fvz - z
@@ -151,28 +171,9 @@ def _crossing_segments(geom: FaceGeom, z):
     cross_edge = pos != pos_next            # (F,3)
     crossed = jnp.sum(cross_edge, axis=1) == 2
 
-    d_next = jnp.roll(d, -1, axis=1)
-    denom = d - d_next
-    denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
-    t = d / denom
-    px = geom.fvx + t * (jnp.roll(geom.fvx, -1, axis=1) - geom.fvx)
-    py = geom.fvy + t * (jnp.roll(geom.fvy, -1, axis=1) - geom.fvy)
-
-    # Orientation is combinatorial, not metric: with CCW winding (outward
-    # normal n) the in-plane traversal direction is z-hat x n, and the
-    # traversal always ENTERS through the (+ -> -) crossed edge and EXITS
-    # through the (- -> +) one (marching-triangles invariant).  The sign
-    # pattern of d is deterministic; a geometric test (dot of the segment
-    # with dir2d) is fp noise whenever the plane grazes a vertex and the
-    # segment is near zero-length, and it flips between differently-fused
-    # XLA programs (batched vs unbatched) — changing the loop topology.
     rows = jnp.arange(F)
     entry_slot = jnp.argmax(pos & ~pos_next, axis=1)
     exit_slot = jnp.argmax(~pos & pos_next, axis=1)
-    start = jnp.stack(
-        [px[rows, entry_slot], py[rows, entry_slot]], axis=1
-    )
-    end = jnp.stack([px[rows, exit_slot], py[rows, exit_slot]], axis=1)
 
     succ_raw = geom.neighbors[rows, exit_slot]
     has_nbr = (succ_raw >= 0) & (succ_raw < F)
@@ -196,6 +197,42 @@ def _crossing_segments(geom: FaceGeom, z):
         .min(rows.astype(jnp.int32), mode="drop")
     )
     succ = jnp.where(linked & (pred_min[succ] != rows), rows, succ)
+    return crossed, entry_slot, exit_slot, succ, open_edge
+
+
+def _segment_points(fvx, fvy, fvz, z, entry_slot, exit_slot):
+    """Intersection segment endpoints for faces with known crossing slots.
+
+    Bit-identical to computing the points on the full band and gathering:
+    the per-edge interpolation is elementwise in the face row.
+    """
+    F = fvz.shape[0]
+    d = fvz - z
+    d = jnp.where(d == 0.0, 1e-7, d)
+    d_next = jnp.roll(d, -1, axis=1)
+    denom = d - d_next
+    denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    t = d / denom
+    px = fvx + t * (jnp.roll(fvx, -1, axis=1) - fvx)
+    py = fvy + t * (jnp.roll(fvy, -1, axis=1) - fvy)
+    rows = jnp.arange(F)
+    start = jnp.stack([px[rows, entry_slot], py[rows, entry_slot]], axis=1)
+    end = jnp.stack([px[rows, exit_slot], py[rows, exit_slot]], axis=1)
+    return start, end
+
+
+def _crossing_segments(geom: FaceGeom, z):
+    """Oriented intersection segments of every face with plane z.
+
+    Returns (crossed (F,), start (F,2), end (F,2), succ (F,)) where succ is
+    the next face along the loop (self for uncrossed faces).
+    """
+    crossed, entry_slot, exit_slot, succ, open_edge = _crossing_topology(
+        geom, z
+    )
+    start, end = _segment_points(
+        geom.fvx, geom.fvy, geom.fvz, z, entry_slot, exit_slot
+    )
     return crossed, start, end, succ, open_edge
 
 
@@ -286,13 +323,31 @@ def _resample(points, n_valid, interp_num, max_chain):
     seg = jnp.where(idx[:-1] < n_valid, seg, 0.0)
     cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
     total = cum[-1]
-    # strictly increase past the valid range so interp never lands there
+    # strictly increase past the valid range so sampling never lands there
     cum = jnp.where(idx <= n_valid, cum, total + (idx - n_valid).astype(cum.dtype))
 
-    d_sampled = jnp.linspace(0.0, total, interp_num)
-    x = jnp.interp(d_sampled, cum, closed[:, 0])
-    y = jnp.interp(d_sampled, cum, closed[:, 1])
-    return jnp.stack([x, y], axis=1)
+    # O(N) source-segment map: sample j sits at d_j = j*step; its source
+    # segment is src[j] = max{i : cum[i] <= d_j}.  Scatter each i to the
+    # first sample index at/after cum[i], then a forward cummax fills the
+    # gaps — no per-sample binary search (jnp.interp costs log2(N) gather
+    # rounds per axis, the hottest part of the slice kernel's post stage).
+    step = total / (interp_num - 1)
+    step = jnp.where(step > 0, step, 1.0)
+    first_sample = jnp.ceil(cum / step).astype(jnp.int32)
+    src = (
+        jnp.zeros(interp_num, jnp.int32)
+        .at[first_sample]
+        .max(idx.astype(jnp.int32), mode="drop")
+    )
+    src = jax.lax.cummax(src)
+
+    d = jnp.arange(interp_num, dtype=cum.dtype) * step
+    c0 = cum[src]
+    c1 = cum[jnp.minimum(src + 1, max_chain)]
+    t = jnp.clip((d - c0) / jnp.where(c1 > c0, c1 - c0, 1.0), 0.0, 1.0)
+    p0 = closed[src]
+    p1 = closed[jnp.minimum(src + 1, max_chain)]
+    return p0 + t[:, None] * (p1 - p0)
 
 
 def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
@@ -339,21 +394,41 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
 def _compact_slice(win: FaceGeom, z, orig_id, k: int):
     """Crossing segments compacted to the first k slots (crossed first).
 
-    Sort keys are unique integers (crossed-bit, window position): on TPU a
-    batched bool argsort(stable=True) tie-orders differently from the
-    unbatched one, and compaction must be permutation-deterministic.
+    The partition is computed with cumsums + one scatter (crossed faces to
+    slots [0, ncross) in window order, uncrossed fill after) — exactly the
+    stable partition `argsort((crossed-bit, position))[:k]` would produce,
+    without the per-slice O(F log^2 F) bitonic sort, and deterministic
+    under batching (a batched bool argsort(stable=True) tie-orders
+    differently from the unbatched one on TPU).
     """
     F = win.fvz.shape[0]
-    crossed, start, end, succ, open_edge = _crossing_segments(win, z)
-    over = jnp.sum(crossed) > k
-    keys = jnp.where(crossed, 0, F) + jnp.arange(F, dtype=jnp.int32)
-    order = jnp.argsort(keys)[:k]
+    crossed, entry_slot, exit_slot, succ, open_edge = _crossing_topology(
+        win, z
+    )
+    csum_c = jnp.cumsum(crossed.astype(jnp.int32))
+    ncross = csum_c[-1]
+    over = ncross > k
+    dest = jnp.where(
+        crossed,
+        csum_c - 1,
+        ncross + jnp.cumsum((~crossed).astype(jnp.int32)) - 1,
+    )
+    order = (
+        jnp.zeros(k, jnp.int32)
+        .at[dest]
+        .set(jnp.arange(F, dtype=jnp.int32), mode="drop")
+    )
     inv = jnp.full(F, -1, jnp.int32).at[order].set(
         jnp.arange(k, dtype=jnp.int32)
     )
     crossed_c = crossed[order]
-    start_c = start[order]
-    end_c = end[order]
+    # intersection points only for the k compacted faces (bit-identical to
+    # computing on the band and gathering — the interpolation is
+    # elementwise per face row)
+    start_c, end_c = _segment_points(
+        win.fvx[order], win.fvy[order], win.fvz[order], z,
+        entry_slot[order], exit_slot[order],
+    )
     # boundary faces have succ == -1; inv[-1] would wrap to inv's last
     # element, injecting a permutation-dependent spurious link
     succ_w = succ[order]
@@ -366,21 +441,31 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
 
 def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
     """Finish one slice from the walk output: pick the largest loop, roll to
-    the oracle start face (min original index), arc-length resample."""
+    the oracle start face (min original index), arc-length resample.
+
+    Gathers and scatters are fused (one (K,4) point gather, one (K+1,3)
+    moment scatter) — post-processing is gather-bound on TPU and the op
+    COUNT, not the byte volume, sets its cost.
+    """
     K = order_s.shape[0]
     posn = jnp.arange(K)
     valid = posn < n_s
     lid = jnp.where(valid, loop_s, K)
     f = jnp.where(valid, order_s, 0)
-    sx, sy = start_s[f, 0], start_s[f, 1]
-    ex, ey = end_s[f, 0], end_s[f, 1]
+    # one gather brings both segment endpoints AND the original face id of
+    # every walk position
+    se = jnp.concatenate(
+        [start_s, end_s, orig_s[:, None].astype(start_s.dtype)], axis=1
+    )[f]                                     # (K, 5), walk order
+    sx, sy, ex, ey = se[:, 0], se[:, 1], se[:, 2], se[:, 3]
     cr2 = jnp.where(valid, sx * ey - ex * sy, 0.0)
-    z1 = jnp.zeros(K + 1)
-    area = 0.5 * z1.at[lid].add(cr2)
-    cx = z1.at[lid].add((sx + ex) * cr2)
-    cy = z1.at[lid].add((sy + ey) * cr2)
+    moments = jnp.stack(
+        [cr2, (sx + ex) * cr2, (sy + ey) * cr2], axis=1
+    )
+    acc = jnp.zeros((K + 1, 3)).at[lid].add(moments)
+    area = 0.5 * acc[:, 0]
     denom = jnp.where(jnp.abs(area) > 1e-12, 6.0 * area, 1.0)
-    centroid = jnp.stack([cx, cy], axis=1) / denom[:, None]
+    centroid = acc[:, 1:3] / denom[:, None]
     count = jnp.zeros(K + 1, jnp.int32).at[lid].add(valid.astype(jnp.int32))
     first_pos = jnp.full(K + 1, K, jnp.int32).at[lid].min(
         posn.astype(jnp.int32)
@@ -390,14 +475,15 @@ def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
     n_best = count[best]
     p0 = first_pos[best]
     nb = jnp.maximum(n_best, 1)
-    # oracle start: min original face index within the loop
+    # oracle start: min original face index within the loop; `se` is
+    # already in walk order, so the loop's span is a (rolled) slice of it
     big = jnp.iinfo(jnp.int32).max
-    span_faces = order_s[jnp.clip(p0 + posn, 0, K - 1)]
     in_loop = posn < n_best
-    og = jnp.where(in_loop, orig_s[span_faces].astype(jnp.int32), big)
+    span = jnp.clip(p0 + posn, 0, K - 1)
+    og = jnp.where(in_loop, se[span, 4].astype(jnp.int32), big)
     off = jnp.argmin(og)
-    ring = order_s[jnp.clip(p0 + (posn + off) % nb, 0, K - 1)]
-    pts = start_s[ring]
+    ring = jnp.clip(p0 + (posn + off) % nb, 0, K - 1)
+    pts = se[ring, 0:2]
     pts = jnp.where(in_loop[:, None], pts, 0.0)
     contour = _resample(pts, n_best, interp_num, K)
     return contour, centroid[best], area[best], jnp.sum(area[:K])
@@ -410,6 +496,7 @@ def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
 def slice_stack(
     verts, faces, neighbors, zs, interp_num: int, max_chain: int = 2048,
     chunk: int = 50, band: int = 6144, use_walk: bool | None = None,
+    sg: SortedGeom | None = None,
 ) -> SliceStack:
     """Cross-section contour stack for all planes `zs` of one mesh.
 
@@ -420,11 +507,16 @@ def slice_stack(
     (ops/pallas_chain) instead of pointer doubling — 26% faster on v5e and
     bit-identical; the default (None) picks the walk on TPU and doubling
     elsewhere (interpret-mode pallas would crawl on CPU).
+
+    `sg` optionally passes a precomputed `sorted_geom(verts, faces,
+    neighbors)`: the z-sort (a full-face-set argsort) depends only on the
+    mesh, so callers slicing several stacks of one bone share it.
     """
     if use_walk is None:
         use_walk = jax.default_backend() == "tpu"
     band = min(band, faces.shape[0])
-    sg = sorted_geom(verts, faces, neighbors)
+    if sg is None:
+        sg = sorted_geom(verts, faces, neighbors)
 
     if use_walk:
         from shoulder_tpu.ops import pallas_chain
@@ -510,6 +602,48 @@ def compact_points(points, mask, out_n: int):
     keep = mask[order]
     packed = jnp.where(keep[:, None], packed, 0.0)
     return packed, jnp.minimum(jnp.sum(mask), out_n)
+
+
+def slice_raw_banded(
+    sg: SortedGeom, z, band: int, max_chain: int = 2048,
+    select: str = "largest", k: int = 512,
+):
+    """Banded single-plane raw loop (see slice_raw for semantics).
+
+    Runs labelling/ordering on the (k,) compacted crossing set of a
+    (band,) z-sorted window instead of the full padded face set —
+    the full-set pointer doubling is ~2 log2(F) gather rounds over 40k
+    faces, ~10x this cost.  Loop start = min original face index, matching
+    the unbanded program's ordering.  Returns (RawLoop, overflow).
+    """
+    win, orig, overflow = _window(sg, z, band)
+    crossed, start, end, succ, orig_c, over, _open = _compact_slice(
+        win, z, orig, k
+    )
+    lab = _label_loops(crossed, succ)
+    area, centroid, count, mean_pt = _loop_stats(crossed, start, end, lab, k)
+    if select == "largest":
+        best = jnp.argmax(area[:k])
+    elif select == "central":
+        score = jnp.abs(mean_pt[:k, 0]) + jnp.abs(mean_pt[:k, 1])
+        score = jnp.where(count[:k] >= 3, score, jnp.inf)
+        best = jnp.argmin(score)
+    else:
+        raise ValueError(select)
+    n_best = count[best]
+    big = jnp.iinfo(jnp.int32).max
+    min_orig = (
+        jnp.full(k + 1, big, jnp.int32)
+        .at[lab]
+        .min(jnp.where(crossed, orig_c.astype(jnp.int32), big))
+    )
+    is_rep = crossed & (lab == best) & (orig_c == min_orig[lab])
+    points = _order_loop(crossed, start, succ, lab, best, n_best, max_chain,
+                         is_rep)
+    return (
+        RawLoop(points, n_best, area[best], centroid[best]),
+        overflow | over,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_chain", "select"))

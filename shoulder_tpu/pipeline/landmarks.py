@@ -135,7 +135,7 @@ def _canal(stack: slicing.SliceStack, bone: BoneTensors, proximal: bool,
 
 # --------------------------------------------------------------------- B
 def _surgical_neck(stack, bone: BoneTensors, proximal: bool,
-                   cfg: PipelineConfig, max_chain: int):
+                   cfg: PipelineConfig, max_chain: int, sg=None):
     n = stack.zs.shape[0]
     cut = (cfg.surgical_neck_cutoff_prox if proximal
            else cfg.surgical_neck_cutoff_full)
@@ -145,7 +145,8 @@ def _surgical_neck(stack, bone: BoneTensors, proximal: bool,
     t = sig.rbf_changepoint_1bkp(areas, min_size=cfg.cpd_min_size)
     neck_z = zs[t]
 
-    raw = _raw_loop_at(bone, neck_z, max_chain, select="central")
+    raw = _raw_loop_at(bone, neck_z, max_chain, select="central", sg=sg,
+                       band=cfg.full.band)
     pts3 = jnp.concatenate(
         [raw.points, jnp.full((max_chain, 1), neck_z, raw.points.dtype)],
         axis=1,
@@ -156,27 +157,17 @@ def _surgical_neck(stack, bone: BoneTensors, proximal: bool,
     return neck_z, pts_ct, raw.n
 
 
-def _raw_loop_at(bone: BoneTensors, z, max_chain, select):
-    geom_f = slicing.face_geom(
-        geom.transform_pts(bone.verts, bone.obb_transform),
-        bone.faces, bone.neighbors,
+def _raw_loop_at(bone: BoneTensors, z, max_chain, select, sg=None,
+                 band: int = 2048):
+    if sg is None:
+        sg = slicing.sorted_geom(
+            geom.transform_pts(bone.verts, bone.obb_transform),
+            bone.faces, bone.neighbors,
+        )
+    raw, _overflow = slicing.slice_raw_banded(
+        sg, z, min(band, bone.faces.shape[0]), max_chain, select
     )
-    F = bone.faces.shape[0]
-    crossed, start, end, succ, _ = slicing._crossing_segments(geom_f, z)
-    lab = slicing._label_loops(crossed, succ)
-    area, centroid, count, mean_pt = slicing._loop_stats(
-        crossed, start, end, lab, F
-    )
-    if select == "central":
-        score = jnp.abs(mean_pt[:F, 0]) + jnp.abs(mean_pt[:F, 1])
-        score = jnp.where(count[:F] >= 3, score, jnp.inf)
-        best = jnp.argmin(score)
-    else:
-        best = jnp.argmax(area[:F])
-    n_best = count[best]
-    points = slicing._order_loop(crossed, start, succ, lab, best, n_best,
-                                 max_chain)
-    return slicing.RawLoop(points, n_best, area[best], centroid[best])
+    return raw
 
 
 # ---------------------------------------------------------------- polar
@@ -366,22 +357,24 @@ def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
     pts = jnp.stack([x, y, z], axis=-1)          # (R,512,3)
 
     if cfg.segmenter == "unet" and seg_params is not None:
-        # UNet mask over the normalized polar image (reference's interface,
-        # anatomic_neck.py:62-85); sphere stats still derive radius/QC
+        # UNet over the normalized polar image (the reference's interface,
+        # anatomic_neck.py:62-85), then geometric-consistency refinement:
+        # the CNN mask seeds the robust-sphere consensus instead of the
+        # top-rows heuristic — the analog of the reference's CRF stage
+        # ("unetcrf").  On a healthy head both seeds converge to the same
+        # consensus (metric parity with the sphere segmenter); on degraded
+        # geometry the learned seed is what keeps the fit on the articular
+        # dome.
         from shoulder_tpu.models import unet as unet_mod
 
-        mask = unet_mod.segment_image(seg_params, image)
-        mask = segment._longest_cyclic_run_per_row(mask > 0.5).astype(
+        unary = unet_mod.segment_image(seg_params, image)
+        unary = segment._longest_cyclic_run_per_row(unary > 0.5).astype(
             image.dtype
         )
-        sph_radius, sph_center = fits.fit_sphere(
-            pts.reshape(-1, 3), mask.reshape(-1)
+        mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(
+            pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
+            cfg.sphere_seg_init_top_rows, init_mask=unary,
         )
-        d = jnp.linalg.norm(pts.reshape(-1, 3) - sph_center, axis=1)
-        resid_all = jnp.abs(d - sph_radius)
-        sph_resid = jnp.sum(
-            jnp.where(mask.reshape(-1) > 0, resid_all, 0.0)
-        ) / jnp.maximum(jnp.sum(mask), 1)
     else:
         mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(
             pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
@@ -521,7 +514,21 @@ def compute_landmarks(
     chunk: int = 50,
     seg_params=None,
 ) -> Landmarks:
+    if cfg.segmenter == "unet" and seg_params is None:
+        # Resolve the shipped checkpoint at trace time; the weights embed
+        # as program constants, so every caller (facade, vmapped batch,
+        # sharded mesh) inherits them without threading an extra argument.
+        # Loads once per process (models.unet.load_default_params cache);
+        # still-None (no checkpoint) falls through to the sphere segmenter.
+        from shoulder_tpu.models import unet as unet_mod
+
+        seg_params = unet_mod.load_default_params()
+
     verts_obb = geom.transform_pts(bone.verts, bone.obb_transform)
+    # the z-sorted face geometry depends only on the mesh: compute it once
+    # and share it across the full/proximal/distal stacks (the z-argsort
+    # over the padded face set is ~1/8 of a stack's cost)
+    sg = slicing.sorted_geom(verts_obb, bone.faces, bone.neighbors)
 
     # A: full stack (zs descending, slice.py:219-224)
     zs_full = jnp.linspace(
@@ -530,12 +537,12 @@ def compute_landmarks(
     )
     full = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_full,
-        cfg.full.interp_num, cfg.max_chain, chunk, cfg.full.band,
+        cfg.full.interp_num, cfg.max_chain, chunk, cfg.full.band, sg=sg,
     )
 
     # B: surgical neck
     neck_z, sn_points, sn_n = _surgical_neck(
-        full, bone, proximal, cfg, cfg.max_chain
+        full, bone, proximal, cfg, cfg.max_chain, sg=sg
     )
 
     # C: proximal stack (head -> surgical neck, slice.py:248-253)
@@ -545,6 +552,7 @@ def compute_landmarks(
     prox = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_prox,
         cfg.proximal.interp_num, cfg.max_chain, chunk, cfg.proximal.band,
+        sg=sg,
     )
 
     # D: canal
@@ -574,6 +582,7 @@ def compute_landmarks(
         distal = slicing.slice_stack(
             verts_obb, bone.faces, bone.neighbors, zs_dist,
             cfg.distal.interp_num, cfg.max_chain, chunk, cfg.distal.band,
+            sg=sg,
         )
         te_axis = _transepicondylar(
             distal, bone, canal_axis, axis_central, cfg
