@@ -69,22 +69,40 @@ def predict_proba(params: ForestParams, x):
 
     Matches ONNX TreeEnsembleClassifier semantics with BRANCH_LEQ nodes:
     go to the true child when x[feature] <= value.
+
+    The lockstep descent is latency-bound (max_depth sequential rounds of
+    (R, T) gathers), so each round is collapsed to ONE gather: node
+    (feature, threshold, children) are packed into a single (T, M, 4)
+    float table — small-int fields are exact in f32 — and the sample value
+    is selected by a gather-free one-hot contraction over the 9 features.
+    The round count is the forest's true max depth; the loop is unrolled
+    (25 iterations of small ops — loop-carry overhead was comparable to
+    the gathers themselves).
     """
     x = jnp.asarray(x)
     n_trees, _max_nodes = params.feature.shape
+    n_features = x.shape[1]
 
-    def step(idx, _):
-        # idx: (R, T) current node per (sample, tree)
-        feat = jnp.take_along_axis(params.feature[None], idx[..., None], axis=2)[..., 0]
-        val = jnp.take_along_axis(params.value[None], idx[..., None], axis=2)[..., 0]
-        xv = jnp.take_along_axis(x[:, None, :], feat[..., None].astype(jnp.int32), axis=2)[..., 0]
-        go_true = xv <= val
-        tc = jnp.take_along_axis(params.true_child[None], idx[..., None], axis=2)[..., 0]
-        fc = jnp.take_along_axis(params.false_child[None], idx[..., None], axis=2)[..., 0]
-        return jnp.where(go_true, tc, fc), None
+    packed = jnp.stack(
+        [
+            params.feature.astype(jnp.float32),
+            params.value,
+            params.true_child.astype(jnp.float32),
+            params.false_child.astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (T, M, 4)
+    fids = jnp.arange(n_features, dtype=jnp.float32)
 
-    idx0 = jnp.zeros((x.shape[0], n_trees), dtype=jnp.int32)
-    idx, _ = jax.lax.scan(step, idx0, None, length=params.max_depth)
+    idx = jnp.zeros((x.shape[0], n_trees), dtype=jnp.int32)
+    for _ in range(params.max_depth):
+        g = jnp.take_along_axis(
+            packed[None], idx[..., None, None], axis=2
+        )[:, :, 0, :]                                   # (R, T, 4)
+        onehot = g[..., 0:1] == fids                    # (R, T, F), no gather
+        xv = jnp.sum(jnp.where(onehot, x[:, None, :], 0.0), axis=-1)
+        go_true = xv <= g[..., 1]
+        idx = jnp.where(go_true, g[..., 2], g[..., 3]).astype(jnp.int32)
 
     # gather leaf class weights and sum over trees
     lw = jnp.take_along_axis(

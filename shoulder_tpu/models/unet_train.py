@@ -241,6 +241,11 @@ def train_mixture(
     domain-gap symptom).  The procedural stream stays in the mix as an
     infinite-variety regularizer.  Corpus samples are augmented with random
     theta rolls (the image axis is periodic) and mild noise.
+
+    The whole corpus is uploaded once and sampled ON DEVICE inside the
+    jitted step (fp16 at rest; a 512^2 float corpus is ~0.5 MB/pair): this
+    deployment's TPU tunnel pays ~1 s per host transfer, so per-step H2D
+    batches would dwarf the compute.
     """
     model = UNet()
     key = jax.random.PRNGKey(seed)
@@ -251,13 +256,28 @@ def train_mixture(
     tx = optax.adamw(lr)
     opt_state = tx.init(params)
 
-    corpus_images = np.asarray(corpus_images, np.float32)
-    corpus_masks = np.asarray(corpus_masks, np.float32)
+    corpus_images = jax.device_put(jnp.asarray(corpus_images, jnp.float16))
+    corpus_masks = jax.device_put(jnp.asarray(corpus_masks, jnp.float16))
+    n_total = corpus_images.shape[0]
     n_proc = max(1, int(round(batch * frac_procedural)))
     n_corp = batch - n_proc
 
     @jax.jit
-    def step(params, opt_state, images, labels):
+    def step(params, opt_state, key):
+        kidx, kroll, knoise, kproc = jax.random.split(key, 4)
+        idx = jax.random.randint(kidx, (n_corp,), 0, n_total)
+        ci = corpus_images[idx].astype(jnp.float32)
+        cm = corpus_masks[idx].astype(jnp.float32)
+        shift = jax.random.randint(kroll, (n_corp,), 0, size)
+        roll = lambda a, s: jnp.roll(a, s, axis=-1)
+        ci = jax.vmap(roll)(ci, shift)
+        cm = jax.vmap(roll)(cm, shift)
+        ci = ci + 0.01 * jax.random.normal(knoise, ci.shape)
+        images, labels = ci[..., None], cm[..., None]
+        if n_proc:
+            pi, pm = synth_polar_batch(kproc, n_proc, size)
+            images = jnp.concatenate([images, pi])
+            labels = jnp.concatenate([labels, pm])
         loss, grads = jax.value_and_grad(dice_bce_loss)(
             params, model, images, labels, boundary_amp
         )
@@ -265,31 +285,10 @@ def train_mixture(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    @jax.jit
-    def augment(key, images, labels):
-        k1, k2 = jax.random.split(key)
-        shift = jax.random.randint(k1, (images.shape[0],), 0, size)
-        roll = lambda a, s: jnp.roll(a, s, axis=-1)
-        images = jax.vmap(roll)(images, shift)
-        labels = jax.vmap(roll)(labels, shift)
-        images = images + 0.01 * jax.random.normal(k2, images.shape)
-        return images[..., None], labels[..., None]
-
-    gen = jax.jit(functools.partial(synth_polar_batch, batch=n_proc,
-                                    size=size))
-    rng = np.random.default_rng(seed)
     losses = []
     for i in range(steps):
-        key, dk, ak = jax.random.split(key, 3)
-        idx = rng.integers(0, corpus_images.shape[0], n_corp)
-        ci, cm = augment(ak, corpus_images[idx], corpus_masks[idx])
-        if n_proc:
-            pi, pm = gen(dk)
-            images = jnp.concatenate([ci, pi])
-            labels = jnp.concatenate([cm, pm])
-        else:
-            images, labels = ci, cm
-        params, opt_state, loss = step(params, opt_state, images, labels)
+        key, sk = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sk)
         if i % log_every == 0 or i == steps - 1:
             losses.append(float(loss))
             print(f"[unet] step {i} loss {float(loss):.4f}", flush=True)

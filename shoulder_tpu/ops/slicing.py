@@ -400,11 +400,25 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
     without the per-slice O(F log^2 F) bitonic sort, and deterministic
     under batching (a batched bool argsort(stable=True) tie-orders
     differently from the unbatched one on TPU).
+
+    Everything data-dependent (intersection points, successor resolution,
+    injectivity, open-edge detection) runs on the (k,) compacted set, not
+    the band: only the sign pattern + crossing slots — pure elementwise
+    math — touch all (band,) faces, so the band can stay generously large
+    without gather cost.
     """
     F = win.fvz.shape[0]
-    crossed, entry_slot, exit_slot, succ, open_edge = _crossing_topology(
-        win, z
-    )
+    d = win.fvz - z
+    d = jnp.where(d == 0.0, 1e-7, d)
+    pos = d > 0.0
+    pos_next = jnp.roll(pos, -1, axis=1)
+    cross_edge = pos != pos_next
+    crossed = jnp.sum(cross_edge, axis=1) == 2
+    # see _crossing_topology: entry/exit edges are combinatorial in the
+    # sign pattern (fp-robust orientation)
+    entry_slot = jnp.argmax(pos & ~pos_next, axis=1)
+    exit_slot = jnp.argmax(~pos & pos_next, axis=1)
+
     csum_c = jnp.cumsum(crossed.astype(jnp.int32))
     ncross = csum_c[-1]
     over = ncross > k
@@ -422,21 +436,37 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
         jnp.arange(k, dtype=jnp.int32)
     )
     crossed_c = crossed[order]
+    exit_c = exit_slot[order]
     # intersection points only for the k compacted faces (bit-identical to
     # computing on the band and gathering — the interpolation is
     # elementwise per face row)
     start_c, end_c = _segment_points(
         win.fvx[order], win.fvy[order], win.fvz[order], z,
-        entry_slot[order], exit_slot[order],
+        entry_slot[order], exit_c,
     )
-    # boundary faces have succ == -1; inv[-1] would wrap to inv's last
-    # element, injecting a permutation-dependent spurious link
-    succ_w = succ[order]
-    succ_c = jnp.where(succ_w >= 0, inv[jnp.clip(succ_w, 0, F - 1)], -1)
     rows = jnp.arange(k)
+    succ_w = win.neighbors[order][rows, exit_c]   # window-local id, -1 none
+    # compact id of the successor: -1 when the neighbor is missing (open
+    # boundary), uncrossed, or compacted out (only possible on overflow —
+    # `over` flags that case, so gate the open-edge signal on ~over)
+    succ_c = jnp.where(
+        succ_w >= 0, inv[jnp.clip(succ_w, 0, F - 1)], -1
+    )
+    open_edge_c = crossed_c & (succ_c < 0)
     succ_c = jnp.where(crossed_c & (succ_c >= 0), succ_c, rows)
+    # enforce injectivity (vertex-grazing planes can make two faces claim
+    # one successor; see _crossing_topology): keep the smallest-compact-
+    # index predecessor, dead-end the rest.  Compact order preserves
+    # window order, so this matches the band-domain resolution.
+    linked = crossed_c & (succ_c != rows)
+    pred_min = (
+        jnp.full(k, k, jnp.int32)
+        .at[jnp.where(linked, succ_c, k)]
+        .min(rows.astype(jnp.int32), mode="drop")
+    )
+    succ_c = jnp.where(linked & (pred_min[succ_c] != rows), rows, succ_c)
     return (crossed_c, start_c, end_c, succ_c, orig_id[order], over,
-            jnp.any(open_edge))
+            jnp.any(open_edge_c & ~over))
 
 
 def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):

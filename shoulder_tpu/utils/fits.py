@@ -28,6 +28,51 @@ def _weighted_mean(pts, w):
     return jnp.sum(pts * w[:, None], axis=0) / jnp.sum(w)
 
 
+def _null3(a):
+    """Unit null-space vector of a (numerically) rank-2 symmetric 3x3."""
+    c01 = jnp.cross(a[0], a[1])
+    c02 = jnp.cross(a[0], a[2])
+    c12 = jnp.cross(a[1], a[2])
+    cands = jnp.stack([c01, c02, c12])
+    norms = jnp.linalg.norm(cands, axis=1)
+    v = cands[jnp.argmax(norms)]
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+
+def eigh3(a):
+    """Analytic eigendecomposition of a symmetric 3x3 matrix.
+
+    Returns (vals(3,), vecs(3,3)) in ascending order, the same convention
+    as jnp.linalg.eigh (eigenvector signs are arbitrary in both).  The
+    trigonometric closed form replaces eigh's iterative decomposition,
+    which costs tens of milliseconds per call on TPU — the line/plane fits
+    run once per landmark stage and were dominated by it.
+    """
+    a = jnp.asarray(a)
+    q = jnp.trace(a) / 3.0
+    a_q = a - q * jnp.eye(3, dtype=a.dtype)
+    p2 = jnp.sum(a_q * a_q) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    r = jnp.clip(jnp.linalg.det(a_q) / (2.0 * p**3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    hi = q + 2.0 * p * jnp.cos(phi)
+    lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    mid = 3.0 * q - hi - lo
+    vals = jnp.stack([lo, mid, hi])
+
+    eye = jnp.eye(3, dtype=a.dtype)
+    v_hi = _null3(a - hi * eye)
+    v_lo = _null3(a - lo * eye)
+    v_mid = jnp.cross(v_hi, v_lo)
+    v_mid = v_mid / jnp.maximum(jnp.linalg.norm(v_mid), 1e-30)
+    vecs = jnp.stack([v_lo, v_mid, v_hi], axis=1)
+    # degenerate (near-spherical) scatter: any orthonormal basis is valid
+    degenerate = p2 < 1e-20
+    vals = jnp.where(degenerate, jnp.full(3, q, a.dtype), vals)
+    vecs = jnp.where(degenerate, eye, vecs)
+    return vals, vecs
+
+
 def fit_line(pts, w=None):
     """Best-fit 3D line through points: returns (point, direction).
 
@@ -39,9 +84,9 @@ def fit_line(pts, w=None):
     center = _weighted_mean(pts, w)
     x = (pts - center) * jnp.sqrt(w)[:, None]
     # principal eigenvector of the 3x3 scatter matrix (cheaper + more stable
-    # under vmap than a full SVD of (N,3))
+    # under vmap than a full SVD of (N,3)); analytic solver — see eigh3
     cov = x.T @ x
-    _, vecs = jnp.linalg.eigh(cov)
+    _, vecs = eigh3(cov)
     direction = vecs[:, -1]
     return center, direction
 
@@ -54,7 +99,7 @@ def fit_plane(pts, w=None):
     center = _weighted_mean(pts, w)
     x = (pts - center) * jnp.sqrt(w)[:, None]
     cov = x.T @ x
-    _, vecs = jnp.linalg.eigh(cov)
+    _, vecs = eigh3(cov)
     normal = vecs[:, 0]
     return center, normal
 

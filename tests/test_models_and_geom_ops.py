@@ -112,6 +112,19 @@ def test_fit_line_and_plane():
     assert abs(abs(float(np.dot(np.asarray(nn), n))) - 1) < 1e-4
 
 
+def test_eigh3_matches_lapack():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        a = rng.normal(0, 10, (3, 3))
+        a = (a + a.T).astype(np.float32)
+        vals, vecs = fits.eigh3(a)
+        ref_vals, ref_vecs = np.linalg.eigh(a.astype(np.float64))
+        assert np.allclose(np.asarray(vals), ref_vals, atol=1e-3)
+        # eigenvector signs are arbitrary: compare |dot| per column
+        dots = np.abs(np.sum(np.asarray(vecs) * ref_vecs, axis=0))
+        assert np.allclose(dots, 1.0, atol=1e-3)
+
+
 def test_fit_sphere_and_circle():
     rng = np.random.default_rng(2)
     c = np.array([4.0, -3.0, 10.0])

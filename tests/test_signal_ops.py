@@ -18,7 +18,8 @@ def test_savgol_matches_scipy(seed, window):
 
 
 @pytest.mark.parametrize("seed", range(6))
-def test_find_peaks_matches_scipy(seed):
+@pytest.mark.parametrize("method", ["dense", "rq"])
+def test_find_peaks_matches_scipy(seed, method):
     rng = np.random.default_rng(seed)
     # smoothed noise, the same character as the groove radius signals
     x = scipy.signal.savgol_filter(rng.normal(size=512), 15, 2).astype(
@@ -28,7 +29,7 @@ def test_find_peaks_matches_scipy(seed):
         x.astype(np.float64), height=-10, prominence=0.05, width=0.1
     )
     ours = sig.find_peaks(x, height=-10.0, prominence=0.05, width=0.1,
-                          max_peaks=128)
+                          max_peaks=128, method=method)
     ok = np.asarray(ours["valid"])
     idx = np.sort(np.asarray(ours["idx"])[ok])
     assert idx.tolist() == ref_idx.tolist()
