@@ -88,11 +88,17 @@ class PipelineConfig:
     groove_kde_bandwidth: float = 1.0     # sklearn KernelDensity default
 
     # --- anatomic neck -----------------------------------------------------
-    # articular segmenter: "sphere" (robust classical consensus, default) or
-    # "unet" (Flax UNet; requires seg_params passed to compute_landmarks).
-    # Replaces the reference's UNet whose weights are absent from the
-    # snapshot, see SURVEY.md §2.2.
-    segmenter: str = "sphere"
+    # articular segmenter: "unet" (default — Flax UNet proposal + sphere-
+    # consensus geometric refinement, the analog of the reference's
+    # "unetcrf" CNN+CRF stage, anatomic_neck.py:62-85) or "sphere" (the
+    # classical robust consensus alone).  The reference's own UNet weights
+    # are absent from the snapshot (SURVEY.md §2.2); ours is trained on
+    # pipeline-extracted synthetic bones with generative labels plus
+    # sphere-labelled real fixtures (tools/make_unet_corpus.py,
+    # tools/train_unet.py).  On the 4 reference fixtures both modes agree
+    # within 0.12 deg / 0.002 mm (tools/eval_segmenter.py); with no
+    # checkpoint on disk the pipeline falls back to "sphere".
+    segmenter: str = "unet"
     sphere_seg_iters: int = 12
     sphere_seg_tol_mm: float = 2.0
     sphere_seg_init_top_rows: float = 0.3

@@ -27,6 +27,7 @@ def synthetic_humerus(
     groove_depth: float = 2.5,
     groove_width_deg: float = 14.0,
     epicondyle_half_width: float = 30.0,
+    metaphysis_scale: float = 0.72,   # tuberosity flare as head_radius frac
     n_rings: int = 160,
     n_theta: int = 128,
     side: str = "left",
@@ -78,6 +79,20 @@ def synthetic_humerus(
         (ey * np.cos(tt)) ** 2 + (ex * np.sin(tt)) ** 2
     )
     r = np.maximum(r, r_dist)
+
+    # metaphysis: smooth flare from the shaft toward the tuberosity region
+    # below the head.  Without it the slice-area curve jumps straight from
+    # shaft to dome and the surgical-neck changepoint lands inside the head
+    # (~0.89L instead of the anatomical ~0.75-0.80L), which makes the
+    # proximal polar window dome-only — unlike any real humerus.
+    if metaphysis_scale > 0:
+        meta_frac = _smoothstep(zz, 0.60 * length, 0.74 * length) * (
+            1.0 - _smoothstep(zz, 0.86 * length, 0.95 * length)
+        )
+        r_meta = shaft_radius + (
+            metaphysis_scale * head_radius - shaft_radius
+        ) * meta_frac
+        r = np.maximum(r, r_meta)
 
     # proximal head: per (z, theta) ray from the canal axis, the surface of a
     # sphere |p - head_c| = head_radius seen from the axis point (0,0,z)

@@ -81,14 +81,23 @@ def polar_pairs(stl_paths, cfg=None):
         )
         return image, mask
 
+    from shoulder_tpu.pipeline import packing
+
+    # warm the D2H channel before the first big program (see bench.py:
+    # the first post-program fetch otherwise pays a multi-minute
+    # handshake), then read each bone back in ONE packed transfer
+    import jax.numpy as jnp
+
+    _ = float(np.asarray(jax.jit(jnp.sum)(jnp.ones(8))))
     images, masks = [], []
     for p in stl_paths:
         spec = ingest.load_bone(p)
         bt = B.bone_tensors(spec)
-        img, msk = jax.block_until_ready(extract(bt))
+        img, msk = packing.fetch(extract(bt))
         images.append(np.asarray(img, np.float32))
         masks.append(np.asarray(msk, np.float32))
-        print(f"{Path(p).stem}: mask frac {float(np.mean(msk)):.2f}")
+        print(f"{Path(p).stem}: mask frac {float(np.mean(msk)):.2f}",
+              flush=True)
     return np.stack(images), np.stack(masks)
 
 

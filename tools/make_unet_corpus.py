@@ -6,9 +6,12 @@ space, which left a domain gap vs the images the pipeline actually builds
 interp/normalization quirks).  This tool closes the gap by generating
 randomized synthetic humeri (shoulder_tpu.io.testdata, including arthritic
 deformations) and running each through the REAL pipeline stages to produce
-its polar-radius image, with exact generative supervision: each pixel's 3D
-point is labelled by the articular flag of its nearest mesh vertex
-(synthetic_humerus(return_head_label=True)).
+its polar-radius image, with exact generative supervision: bones are built
+in the identity frame, so each pixel's 3D point maps analytically to a
+(ring, theta) cell of the generator's articular-flag grid — the label
+lookup runs on device and the per-batch readback is ONE packed transfer
+(this deployment's TPU tunnel pays ~1 s per buffer fetch; per-bone fetches
+made the first version of this tool 20x slower than the compute).
 
 Output .npz: images (N,512,512) float16, masks (N,512,512) uint8.
 
@@ -21,6 +24,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
+
+BATCH = 8
+N_RINGS, N_THETA = 160, 128
 
 
 def _random_params(rng):
@@ -46,10 +52,9 @@ def _random_params(rng):
     return p
 
 
-def build_corpus(n_bones: int, seed: int = 0):
+def build_corpus(n_bones: int, seed: int = 0, out_path=None):
     import jax
     import jax.numpy as jnp
-    from scipy.spatial import cKDTree
 
     from shoulder_tpu.config import DEFAULT_CONFIG as cfg
     from shoulder_tpu.io import ingest, stl
@@ -58,14 +63,23 @@ def build_corpus(n_bones: int, seed: int = 0):
     from shoulder_tpu.ops import slicing
     from shoulder_tpu.pipeline import batch as B
     from shoulder_tpu.pipeline import landmarks as L
+    from shoulder_tpu.pipeline import packing
     from shoulder_tpu.utils import geometry as geom
 
     rf = forest.load_params()
 
-    @jax.jit
-    def extract(bt):
+    def extract_one(bt, label_grid, length, neck_frac):
         """The pipeline's exact polar-image build (landmarks._anatomic_neck
-        input path), returning the image and each pixel's OBB-frame point."""
+        input path) + on-device generative label lookup.
+
+        The window bottom is set explicitly from `neck_frac` (fraction of
+        the build-frame length) instead of the surgical-neck changepoint:
+        on the synthetic area curves the 1-bkp CPD can land inside the
+        dome, which would yield dome-only images — the lower mask edge
+        (the thing the UNet must learn, PARITY round-1 failure mode) would
+        never appear in training.  Randomizing neck_frac doubles as
+        window-depth augmentation.
+        """
         verts_obb = geom.transform_pts(bt.verts, bt.obb_transform)
         zs_full = jnp.linspace(
             cfg.z_inset * bt.z_max, cfg.z_inset * bt.z_min,
@@ -75,7 +89,9 @@ def build_corpus(n_bones: int, seed: int = 0):
             verts_obb, bt.faces, bt.neighbors, zs_full,
             cfg.full.interp_num, cfg.max_chain, 50, cfg.full.band,
         )
-        neck_z, _, _ = L._surgical_neck(full, bt, False, cfg, cfg.max_chain)
+        neck_ct = jnp.stack([jnp.zeros(()), jnp.zeros(()),
+                             neck_frac * length])
+        neck_z = geom.transform_pts(neck_ct[None, :], bt.obb_transform)[0, 2]
         zs_prox = jnp.linspace(
             cfg.z_inset * bt.z_max, neck_z, cfg.proximal.zslice_num
         )
@@ -107,46 +123,76 @@ def build_corpus(n_bones: int, seed: int = 0):
         y = r_im * jnp.sin(t_im)
         z = jnp.broadcast_to(zs[:, None], (R, interp))
         pts = jnp.stack([x, y, z], axis=-1)
-        return image, pts
+
+        # identity build frame: pixel -> (ring, theta) grid cell
+        pts_ct = geom.transform_pts(
+            pts.reshape(-1, 3), geom.inv_transform(bt.obb_transform)
+        )
+        z0 = jnp.clip(pts_ct[:, 2], 0.0, length)
+        ring = jnp.clip(
+            jnp.round(z0 / length * (N_RINGS - 1)).astype(jnp.int32),
+            0, N_RINGS - 1,
+        )
+        th = jnp.arctan2(pts_ct[:, 1], pts_ct[:, 0])
+        col = jnp.round(
+            (th + jnp.pi) / (2 * jnp.pi) * N_THETA
+        ).astype(jnp.int32) % N_THETA
+        mask = label_grid[ring, col].reshape(image.shape)
+        return image, mask
+
+    extract = jax.jit(jax.vmap(extract_one))
+
+    # warm the D2H channel before any big program (see bench.py)
+    _ = float(np.asarray(jax.jit(jnp.sum)(jnp.ones(8))))
 
     rng = np.random.default_rng(seed)
     images, masks = [], []
     i = 0
     while len(images) < n_bones:
-        i += 1
-        params = _random_params(rng)
-        v, f, label = synthetic_humerus(
-            rng_transform=rng, return_head_label=True, **params
-        )
-        nbr, watertight = stl.edge_face_adjacency(f)
-        try:
-            spec = ingest.spec_from_arrays(
-                f"synth{i}", v.astype(np.float32), f.astype(np.int32),
-                nbr, watertight,
+        specs, grids, lengths, fracs_in = [], [], [], []
+        while len(specs) < BATCH:
+            i += 1
+            params = _random_params(rng)
+            v, f, label = synthetic_humerus(
+                return_head_label=True, n_rings=N_RINGS, n_theta=N_THETA,
+                **params,
             )
-        except ValueError:
-            continue  # exceeds padding; resample
-        bt = B.bone_tensors(spec)
-        image, pts = jax.block_until_ready(extract(bt))
-        image = np.asarray(image, np.float32)
-        pts = np.asarray(pts, np.float32)
-
-        # label each pixel by its nearest mesh vertex (CT frame)
-        to_obb = np.asarray(spec.obb_transform)
-        pts_ct = (pts.reshape(-1, 3) - to_obb[:3, 3]) @ to_obb[:3, :3]
-        _, nn = cKDTree(v).query(pts_ct, workers=-1)
-        mask = label[nn].reshape(image.shape)
-
-        if not np.isfinite(image).all():
-            continue
-        frac = float(mask.mean())
-        if not (0.02 < frac < 0.6):  # degenerate extraction; resample
-            continue
-        images.append(image.astype(np.float16))
-        masks.append(mask.astype(np.uint8))
-        if len(images) % 16 == 0:
-            print(f"[corpus] {len(images)}/{n_bones} (mask frac {frac:.2f})",
-                  flush=True)
+            nbr, watertight = stl.edge_face_adjacency(f)
+            try:
+                spec = ingest.spec_from_arrays(
+                    f"synth{i}", v.astype(np.float32), f.astype(np.int32),
+                    nbr, watertight,
+                )
+            except ValueError:
+                continue  # exceeds padding; resample
+            specs.append(spec)
+            grids.append(
+                label[: N_RINGS * N_THETA]
+                .reshape(N_RINGS, N_THETA)
+                .astype(np.float32)
+            )
+            lengths.append(np.float32(params["length"]))
+            fracs_in.append(np.float32(rng.uniform(0.68, 0.86)))
+        bones = B.stack_bones(specs)
+        im_b, mk_b = packing.fetch(
+            extract(bones, jnp.asarray(np.stack(grids)),
+                    jnp.asarray(np.stack(lengths)),
+                    jnp.asarray(np.stack(fracs_in)))
+        )
+        fracs = []
+        for im, mk in zip(np.asarray(im_b), np.asarray(mk_b)):
+            frac = float(mk.mean())
+            fracs.append(round(frac, 3))
+            if not np.isfinite(im).all() or not (0.05 < frac < 0.95):
+                continue  # degenerate extraction; resampled next batch
+            images.append(im.astype(np.float16))
+            masks.append(mk.astype(np.uint8))
+        print(f"[corpus] {len(images)}/{n_bones} fracs={fracs}", flush=True)
+        if out_path is not None and images:  # incremental checkpoint
+            np.savez_compressed(
+                out_path, images=np.stack(images), masks=np.stack(masks)
+            )
+    images, masks = images[:n_bones], masks[:n_bones]
     return np.stack(images), np.stack(masks)
 
 
@@ -154,7 +200,7 @@ def main():
     out = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-    images, masks = build_corpus(n, seed)
+    images, masks = build_corpus(n, seed, out_path=out)
     np.savez_compressed(out, images=images, masks=masks)
     print(f"wrote {out}: {images.shape}")
 
