@@ -1,0 +1,154 @@
+// Minimum-volume OBB search over hull-face normals.
+//
+// Native counterpart of shoulder_tpu/host/obb.py::oriented_bounds's hot
+// loop (the numpy path is the semantic oracle): for every candidate face
+// normal of the 3D convex hull, build an in-plane basis, project the hull
+// vertices, take the exact 2D minimum-area rectangle (rotating calipers
+// over the 2D hull edges), and keep the minimum-volume box.  The Python
+// loop costs ~2.4 s per humerus (2.7k normals x a scipy ConvexHull each);
+// this does the same arithmetic in double precision in ~10 ms.
+//
+// Exposed via ctypes (no pybind11 in this environment).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct P2 {
+  double x, y;
+};
+
+inline double cross2(const P2 &o, const P2 &a, const P2 &b) {
+  return (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x);
+}
+
+// Andrew monotone chain; returns hull points in CCW order.
+void hull2d(std::vector<P2> &pts, std::vector<P2> &out) {
+  std::sort(pts.begin(), pts.end(), [](const P2 &a, const P2 &b) {
+    return a.x < b.x || (a.x == b.x && a.y < b.y);
+  });
+  const size_t n = pts.size();
+  out.clear();
+  if (n < 3) {
+    out = pts;
+    return;
+  }
+  std::vector<P2> h(2 * n);
+  size_t k = 0;
+  for (size_t i = 0; i < n; ++i) {
+    while (k >= 2 && cross2(h[k - 2], h[k - 1], pts[i]) <= 0) --k;
+    h[k++] = pts[i];
+  }
+  const size_t lower = k + 1;
+  for (size_t i = n - 1; i-- > 0;) {
+    while (k >= lower && cross2(h[k - 2], h[k - 1], pts[i]) <= 0) --k;
+    h[k++] = pts[i];
+  }
+  h.resize(k - 1);
+  out.swap(h);
+}
+
+}  // namespace
+
+extern "C" int shoulder_min_volume_obb(
+    const double *hull_pts,  // (H, 3) row-major 3D hull vertices
+    int32_t n_pts,
+    const double *normals,  // (N, 3) candidate face normals (deduped)
+    int32_t n_normals,
+    double *out_axes,  // (3, 3) rows u, v, n (world -> obb rows)
+    double *out_lo,    // (3,)
+    double *out_hi) {  // (3,)
+  if (n_pts < 3 || n_normals < 1) return 1;
+
+  std::vector<P2> proj(n_pts), h2;
+  std::vector<double> hgt(n_pts);
+  double best_vol = -1.0;
+
+  for (int32_t ni = 0; ni < n_normals; ++ni) {
+    const double *nr = normals + 3 * ni;
+    double nx = nr[0], ny = nr[1], nz = nr[2];
+    const double nn = std::sqrt(nx * nx + ny * ny + nz * nz);
+    if (nn < 1e-300) continue;
+    nx /= nn;
+    ny /= nn;
+    nz /= nn;
+    // helper = unit axis with the smallest |n| component (matches numpy)
+    const double an[3] = {std::fabs(nx), std::fabs(ny), std::fabs(nz)};
+    int hidx = 0;
+    if (an[1] < an[hidx]) hidx = 1;
+    if (an[2] < an[hidx]) hidx = 2;
+    double hx = hidx == 0, hy = hidx == 1, hz = hidx == 2;
+    // a = cross(helper, n) normalized; b = cross(n, a)
+    double ax = hy * nz - hz * ny;
+    double ay = hz * nx - hx * nz;
+    double az = hx * ny - hy * nx;
+    const double al = std::sqrt(ax * ax + ay * ay + az * az);
+    if (al < 1e-300) continue;
+    ax /= al;
+    ay /= al;
+    az /= al;
+    const double bx = ny * az - nz * ay;
+    const double by = nz * ax - nx * az;
+    const double bz = nx * ay - ny * ax;
+
+    double hmin = 1e300, hmax = -1e300;
+    for (int32_t i = 0; i < n_pts; ++i) {
+      const double px = hull_pts[3 * i], py = hull_pts[3 * i + 1],
+                   pz = hull_pts[3 * i + 2];
+      proj[i].x = px * ax + py * ay + pz * az;
+      proj[i].y = px * bx + py * by + pz * bz;
+      const double hh = px * nx + py * ny + pz * nz;
+      hgt[i] = hh;
+      hmin = std::min(hmin, hh);
+      hmax = std::max(hmax, hh);
+    }
+    std::vector<P2> tmp(proj);
+    hull2d(tmp, h2);
+    const size_t m = h2.size();
+    if (m < 2) continue;
+
+    // rotating over 2D hull edges: rectangle aligned to each edge
+    for (size_t e = 0; e < m; ++e) {
+      const P2 &p0 = h2[e];
+      const P2 &p1 = h2[(e + 1) % m];
+      double dx = p1.x - p0.x, dy = p1.y - p0.y;
+      const double dl = std::sqrt(dx * dx + dy * dy);
+      if (dl < 1e-15) continue;
+      dx /= dl;
+      dy /= dl;
+      double umin = 1e300, umax = -1e300, vmin = 1e300, vmax = -1e300;
+      for (size_t i = 0; i < m; ++i) {
+        const double u = h2[i].x * dx + h2[i].y * dy;
+        const double v = -h2[i].x * dy + h2[i].y * dx;
+        umin = std::min(umin, u);
+        umax = std::max(umax, u);
+        vmin = std::min(vmin, v);
+        vmax = std::max(vmax, v);
+      }
+      const double vol = (umax - umin) * (vmax - vmin) * (hmax - hmin);
+      if (best_vol < 0.0 || vol < best_vol) {
+        best_vol = vol;
+        // u3 = dx*a + dy*b ; v3 = -dy*a + dx*b
+        out_axes[0] = dx * ax + dy * bx;
+        out_axes[1] = dx * ay + dy * by;
+        out_axes[2] = dx * az + dy * bz;
+        out_axes[3] = -dy * ax + dx * bx;
+        out_axes[4] = -dy * ay + dx * by;
+        out_axes[5] = -dy * az + dx * bz;
+        out_axes[6] = nx;
+        out_axes[7] = ny;
+        out_axes[8] = nz;
+        out_lo[0] = umin;
+        out_lo[1] = vmin;
+        out_lo[2] = hmin;
+        out_hi[0] = umax;
+        out_hi[1] = vmax;
+        out_hi[2] = hmax;
+      }
+    }
+  }
+  return best_vol < 0.0 ? 2 : 0;
+}

@@ -2,13 +2,22 @@
 
 The high-level batched interface the reference's validation scripts loop
 one-at-a-time over (reference tests/validate_health.py:5-14,
-validate_arthritic.py:5-19): ingest on the host, one vmapped (optionally
-mesh-sharded) pipeline execution on device, one packed readback, results as
+validate_arthritic.py:5-19): ingest on the host, vmapped (optionally
+mesh-sharded) pipeline executions on device, packed readbacks, results as
 plain dicts per bone.
+
+Large cohorts run in fixed-size batches with the NEXT batch's host ingest
+(STL parse, OBB, head detection) prefetched on a worker thread while the
+device executes the current one — the stage pipelining SURVEY.md §2.4
+plans in place of device pipeline-parallelism.  Fixed batch shapes also
+reuse one compiled program for any cohort size, and per-bone throughput
+peaks near batch 8-16 on a single chip (PERF.md), so chunking beats one
+giant batch on both compile time and wall clock.
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Sequence
 
@@ -17,58 +26,90 @@ import numpy as np
 from shoulder_tpu.config import DEFAULT_CONFIG, PipelineConfig
 
 
-def process_cohort(
-    stl_paths: Sequence,
-    proximal: bool = False,
-    config: PipelineConfig = DEFAULT_CONFIG,
-    device_mesh=None,
-    chunk: int = 50,
-) -> list[dict]:
-    """Run the full landmark pipeline over a cohort of STL files.
-
-    Returns one dict per bone: name, side, retroversion, neckshaft,
-    radius_curvature, canal/TE/groove axes (CT frame), neck_z, and QC.
-    With `device_mesh` (jax.sharding.Mesh) the batch shards over devices.
-    """
+def _run_batch(specs, rf, proximal, config, device_mesh, chunk, batch_n):
     import jax
 
-    from shoulder_tpu.io import ingest
-    from shoulder_tpu.models import forest
     from shoulder_tpu.pipeline import batch as B
 
-    specs = [
-        ingest.load_bone(p, proximal=proximal, config=config)
-        for p in stl_paths
-    ]
+    n_real = len(specs)
+    pad = batch_n - n_real
+    if pad:
+        specs = list(specs) + [specs[-1]] * pad
     bones = B.stack_bones(specs)
-    rf = forest.load_params()
 
     if device_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from shoulder_tpu.parallel import mesh as pmesh
 
-        n_dev = device_mesh.devices.size
-        pad = (-len(specs)) % n_dev
-        if pad:
-            bones = jax.tree.map(
-                lambda x: np.concatenate(
-                    [np.asarray(x)] + [np.asarray(x)[-1:]] * pad
-                ),
-                bones,
-            )
         bones = pmesh.shard_bones(bones, device_mesh)
         rf_d = jax.device_put(rf, NamedSharding(device_mesh, P()))
         fn = pmesh.sharded_landmark_fn(
             device_mesh, proximal=proximal, cfg=config, chunk=chunk
         )
-        lm = fn(bones, rf_d)
-    else:
-        lm = B.compute_landmarks_batch(
-            bones, rf, proximal=proximal, cfg=config, chunk=chunk
-        )
+        return fn(bones, rf_d), n_real
+    lm = B.compute_landmarks_batch(
+        bones, rf, proximal=proximal, cfg=config, chunk=chunk
+    )
+    return lm, n_real
 
-    lm = B.landmarks_to_numpy(lm)
+
+def process_cohort(
+    stl_paths: Sequence,
+    proximal: bool = False,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    device_mesh=None,
+    chunk: int = 50,
+    batch_size: int = 16,
+) -> list[dict]:
+    """Run the full landmark pipeline over a cohort of STL files.
+
+    Returns one dict per bone: name, side, retroversion, neckshaft,
+    radius_curvature, canal/TE/groove axes (CT frame), neck_z, and QC.
+    With `device_mesh` (jax.sharding.Mesh) each batch shards over devices.
+    `batch_size` fixes the compiled batch shape; the cohort streams
+    through it with ingest prefetch (short batches pad with a repeat of
+    the last bone, results de-padded).
+    """
+    from shoulder_tpu.io import ingest
+    from shoulder_tpu.models import forest
+    from shoulder_tpu.pipeline import batch as B
+
+    rf = forest.load_params()
+    if device_mesh is not None:
+        n_dev = device_mesh.devices.size
+        batch_size = max(batch_size, n_dev)
+        batch_size += (-batch_size) % n_dev
+
+    def ingest_chunk(paths):
+        return [
+            ingest.load_bone(p, proximal=proximal, config=config)
+            for p in paths
+        ]
+
+    path_chunks = [
+        list(stl_paths[i:i + batch_size])
+        for i in range(0, len(stl_paths), batch_size)
+    ]
+
+    specs, lms = [], []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(ingest_chunk, path_chunks[0])
+        for ci, paths in enumerate(path_chunks):
+            chunk_specs = fut.result()
+            if ci + 1 < len(path_chunks):
+                # prefetch the next batch's ingest while the device runs
+                fut = ex.submit(ingest_chunk, path_chunks[ci + 1])
+            lm, n_real = _run_batch(
+                chunk_specs, rf, proximal, config, device_mesh, chunk,
+                batch_size,
+            )
+            lm = B.landmarks_to_numpy(lm)  # syncs this batch
+            specs.extend(chunk_specs)
+            lms.append((lm, n_real))
+
+    lm = jax_tree_concat(lms)
+
     out = []
     for i, spec in enumerate(specs):
         out.append(
@@ -95,6 +136,16 @@ def process_cohort(
             }
         )
     return out
+
+
+def jax_tree_concat(lms):
+    """Concatenate per-batch numpy Landmarks, dropping each batch's pad."""
+    import jax
+
+    trimmed = [
+        jax.tree.map(lambda x: np.asarray(x)[:n], lm) for lm, n in lms
+    ]
+    return jax.tree.map(lambda *xs: np.concatenate(xs), *trimmed)
 
 
 def cohort_summary(results: list[dict]) -> dict:

@@ -1,6 +1,7 @@
 """ctypes bindings for the native ingest kernel (csrc/ingest.cpp).
 
-Loads shoulder_tpu/io/_native/libshoulder_ingest.so if present (build with
+Loads shoulder_tpu/io/_native/libshoulder_ingest.so, auto-building it with
+the local C++ toolchain on first use when absent (same command as
 tools/build_native.sh); io/stl.py's numpy path is the fallback and the
 semantic oracle — both produce bit-identical vertex ordering.
 """
@@ -8,20 +9,50 @@ semantic oracle — both produce bit-identical vertex ordering.
 from __future__ import annotations
 
 import ctypes
+import shutil
+import subprocess
 from pathlib import Path
 
 import numpy as np
 
 _LIB_PATH = Path(__file__).parent / "_native" / "libshoulder_ingest.so"
+_SRC_PATH = Path(__file__).parents[2] / "csrc" / "ingest.cpp"
 _lib = None
+_build_attempted = False
 
 
 def available() -> bool:
     return _load() is not None
 
 
+def _try_build() -> None:
+    """One-shot lazy build: the .so is a derived artifact (not in the
+    repo); any host with g++ can produce it in ~2 s.  Failure of any kind
+    just leaves the numpy fallback active."""
+    global _build_attempted
+    if _build_attempted or _LIB_PATH.exists():
+        return
+    _build_attempted = True
+    gxx = shutil.which("g++")
+    if gxx is None or not _SRC_PATH.exists():
+        return
+    try:
+        _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            [gxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC_PATH), str(_SRC_PATH.parent / "obb.cpp"),
+             "-o", str(_LIB_PATH)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:  # toolchain quirk -> numpy fallback
+        if _LIB_PATH.exists():
+            _LIB_PATH.unlink()
+
+
 def _load():
     global _lib
+    if _lib is None and not _LIB_PATH.exists():
+        _try_build()
     if _lib is None and _LIB_PATH.exists():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.shoulder_ingest_stl.restype = ctypes.c_int

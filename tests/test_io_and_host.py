@@ -141,6 +141,25 @@ def test_obb_synthetic_long_axis(synthetic_bone):
     assert extents[2] >= extents[1] >= extents[0]
 
 
+def test_obb_native_matches_numpy(synthetic_bone):
+    """The C++ min-volume search (csrc/obb.cpp) must reproduce the numpy
+    oracle loop exactly (same candidate order, same arithmetic)."""
+    from shoulder_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built and no toolchain")
+    verts, _ = synthetic_bone
+    tn, en = obb_host.oriented_bounds(verts)
+    orig = obb_host._native_search
+    obb_host._native_search = lambda *a: None
+    try:
+        tp, ep = obb_host.oriented_bounds(verts)
+    finally:
+        obb_host._native_search = orig
+    assert np.allclose(en, ep, atol=1e-9)
+    assert np.allclose(tn, tp, atol=1e-9)
+
+
 def test_ingest_full_bone(synthetic_bone):
     from shoulder_tpu.io import ingest
     from shoulder_tpu.io.stl import write_stl

@@ -262,6 +262,19 @@ def test_cohort_api(synth_spec, tiny_cfg, tmp_path):
     assert summ["n"] == 2
     assert np.isfinite(summ["neckshaft_mean"])
 
+    # streamed batches (batch_size 2 over 3 bones -> a padded short batch)
+    # must match the single-batch results bone for bone
+    p3 = tmp_path / "c.stl"
+    stl.write_stl(p3, synth_spec.vertices_raw, synth_spec.faces_raw)
+    res3 = cohort.process_cohort(
+        [p1, p2, p3], config=tiny_cfg, chunk=16, batch_size=2
+    )
+    assert len(res3) == 3
+    for r in res3:
+        assert r["neckshaft_deg"] == pytest.approx(
+            res[0]["neckshaft_deg"], abs=1e-3
+        )
+
 
 def test_open_edges_qc(synth_spec, tiny_cfg, tmp_path):
     """A torn (non-watertight) mesh must raise qc_open_edges, and a healthy
