@@ -75,7 +75,7 @@ def face_geom(verts, faces, neighbors) -> FaceGeom:
 
 
 class SortedGeom(NamedTuple):
-    """FaceGeom sorted by face z_min, for banded slicing.
+    """Face geometry sorted by face z_min, for banded slicing.
 
     A plane at height z only crosses faces in a short contiguous window of
     the sorted order (all crossing faces have z_min <= z, and they cluster
@@ -83,11 +83,19 @@ class SortedGeom(NamedTuple):
     (band,) window instead of all (F,) faces — the decisive optimization
     for TPU, where the pointer-chasing gathers dominate.
 
+    Vertex coordinates are stored TRANSPOSED as one (9, F) matrix (rows:
+    x0 x1 x2 y0 y1 y2 z0 z1 z2): the whole-band crossing math then runs
+    with the band on the TPU lane dimension — a (band, 3) layout pads its
+    3-wide minor dim to the 128-lane register width — and the per-slice
+    window cut is ONE dynamic slice.  Neighbors stay (F, 3): they are only
+    ever gathered at the ~512 compacted crossing faces.
+
     Padding faces carry z_min = +inf so they sort to the tail and never
     enter a window.
     """
 
-    geom: FaceGeom            # all arrays in sorted order
+    fv9: jnp.ndarray          # (9, F) sorted; see layout note above
+    neighbors: jnp.ndarray    # (F, 3) sorted-frame neighbor ids, -1 none
     z_min: jnp.ndarray        # (F,) sorted
     cummax_z_max: jnp.ndarray  # (F,) running max of z_max in sorted order
     orig_id: jnp.ndarray      # (F,) original face index per sorted slot
@@ -109,41 +117,31 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
     _, order = jax.lax.sort((z_min, idx), num_keys=2)
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
     nbr = jnp.where(neighbors >= 0, inv[neighbors], -1)[order]
-    sg = FaceGeom(
-        fvx=g.fvx[order], fvy=g.fvy[order], fvz=g.fvz[order],
-        neighbors=nbr,
+    fv9 = jnp.concatenate(
+        [g.fvx[order].T, g.fvy[order].T, g.fvz[order].T], axis=0
     )
     zmn = z_min[order]
     cmx = jax.lax.cummax(z_max[order])
-    return SortedGeom(sg, zmn, cmx, order)
+    return SortedGeom(fv9, nbr, zmn, cmx, order)
 
 
 def _window(sg: SortedGeom, z, band: int):
-    """The (band,) face window containing every face crossing plane z,
-    plus an overflow flag (true would mean the band is too small).
+    """The (9, band) coordinate slab whose faces contain every crossing of
+    plane z, its start offset, and an overflow flag (true would mean the
+    band is too small).
 
     Windows are contiguous slabs of the z-sorted order, so they are cut
-    with dynamic_slice (not row gathers): under the per-slice vmap this
-    lowers to one slab-sized gather per slice — a memcpy, not band
-    scattered row fetches.  Measured 2.3x on the 600x512 proximal stack.
+    with ONE dynamic slice: under the per-slice vmap this lowers to one
+    slab-sized gather per slice — a memcpy, not band scattered row
+    fetches.  Measured 2.3x on the 600x512 proximal stack.
     """
     start = jnp.searchsorted(sg.z_min, z)
     lo = jnp.clip(start - band, 0, sg.z_min.shape[0] - band)
-    g = sg.geom
-
-    def cut(a):
-        return jax.lax.dynamic_slice_in_dim(a, lo, band)
-
-    nbr = cut(g.neighbors)
-    win = FaceGeom(
-        fvx=cut(g.fvx), fvy=cut(g.fvy), fvz=cut(g.fvz),
-        # translate neighbor ids into window-local coordinates
-        neighbors=jnp.where(nbr >= 0, nbr - lo, -1),
-    )
+    slab = jax.lax.dynamic_slice_in_dim(sg.fv9, lo, band, axis=1)
     # a face below the window with z_max >= z would be a missed crossing
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
-    return win, cut(sg.orig_id), overflow
+    return slab, lo, overflow
 
 
 def _crossing_topology(geom: FaceGeom, z):
@@ -350,21 +348,31 @@ def _resample(points, n_valid, interp_num, max_chain):
     return p0 + t[:, None] * (p1 - p0)
 
 
-def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
-               orig_id=None, compact: int = 0):
-    F = geom.fvz.shape[0]
+def _geom_from_slab(slab, nbr_local):
+    """FaceGeom view of a (9, band) window slab (fallback paths only)."""
+    return FaceGeom(
+        fvx=slab[0:3].T, fvy=slab[3:6].T, fvz=slab[6:9].T,
+        neighbors=nbr_local,
+    )
+
+
+def _slice_one(sg: SortedGeom, slab, lo, z, interp_num: int,
+               max_chain: int, compact: int = 0):
+    F = slab.shape[1]
     over_compact = jnp.asarray(False)
     if compact and compact < F:
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
-        oid = orig_id if orig_id is not None else jnp.arange(F)
-        (crossed, start, end, succ, oid_c, over_compact,
-         open_any) = _compact_slice(geom, z, oid, compact)
-        if orig_id is not None:
-            orig_id = oid_c
+        (crossed, start, end, succ, orig_id, over_compact,
+         open_any) = _compact_slice(sg, slab, lo, z, compact)
         F = compact
     else:
-        crossed, start, end, succ, open_edge = _crossing_segments(geom, z)
+        nbr = sg.neighbors[lo + jnp.arange(F)]
+        nbr_local = jnp.where(nbr >= 0, nbr - lo, -1)
+        crossed, start, end, succ, open_edge = _crossing_segments(
+            _geom_from_slab(slab, nbr_local), z
+        )
+        orig_id = sg.orig_id[lo + jnp.arange(F)]
         open_any = jnp.any(open_edge)
     lab = _label_loops(crossed, succ)
     area, centroid, count, _ = _loop_stats(crossed, start, end, lab, F)
@@ -391,7 +399,7 @@ def _slice_one(geom: FaceGeom, z, interp_num: int, max_chain: int,
             over_compact, open_any)
 
 
-def _compact_slice(win: FaceGeom, z, orig_id, k: int):
+def _compact_slice(sg: SortedGeom, slab, lo, z, k: int):
     """Crossing segments compacted to the first k slots (crossed first).
 
     The partition is computed with cumsums + one scatter (crossed faces to
@@ -401,23 +409,24 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
     under batching (a batched bool argsort(stable=True) tie-orders
     differently from the unbatched one on TPU).
 
-    Everything data-dependent (intersection points, successor resolution,
-    injectivity, open-edge detection) runs on the (k,) compacted set, not
-    the band: only the sign pattern + crossing slots — pure elementwise
-    math — touch all (band,) faces, so the band can stay generously large
+    Everything data-dependent (intersection points, neighbor lookup,
+    successor resolution, injectivity, open-edge detection) runs on the
+    (k,) compacted set, not the band: the only whole-band work is the
+    sign pattern + crossing slots — pure elementwise math on the (3,
+    band) lane-major slab rows — so the band can stay generously large
     without gather cost.
     """
-    F = win.fvz.shape[0]
-    d = win.fvz - z
+    band = slab.shape[1]
+    d = slab[6:9] - z                       # (3, band), band on lanes
     d = jnp.where(d == 0.0, 1e-7, d)
     pos = d > 0.0
-    pos_next = jnp.roll(pos, -1, axis=1)
+    pos_next = jnp.roll(pos, -1, axis=0)
     cross_edge = pos != pos_next
-    crossed = jnp.sum(cross_edge, axis=1) == 2
+    crossed = jnp.sum(cross_edge, axis=0) == 2
     # see _crossing_topology: entry/exit edges are combinatorial in the
     # sign pattern (fp-robust orientation)
-    entry_slot = jnp.argmax(pos & ~pos_next, axis=1)
-    exit_slot = jnp.argmax(~pos & pos_next, axis=1)
+    entry_slot = jnp.argmax(pos & ~pos_next, axis=0)
+    exit_slot = jnp.argmax(~pos & pos_next, axis=0)
 
     csum_c = jnp.cumsum(crossed.astype(jnp.int32))
     ncross = csum_c[-1]
@@ -430,27 +439,33 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
     order = (
         jnp.zeros(k, jnp.int32)
         .at[dest]
-        .set(jnp.arange(F, dtype=jnp.int32), mode="drop")
+        .set(jnp.arange(band, dtype=jnp.int32), mode="drop")
     )
-    inv = jnp.full(F, -1, jnp.int32).at[order].set(
+    inv = jnp.full(band, -1, jnp.int32).at[order].set(
         jnp.arange(k, dtype=jnp.int32)
     )
     crossed_c = crossed[order]
     exit_c = exit_slot[order]
     # intersection points only for the k compacted faces (bit-identical to
     # computing on the band and gathering — the interpolation is
-    # elementwise per face row)
+    # elementwise per face row); one (9, k) column gather
+    g9 = slab[:, order]
     start_c, end_c = _segment_points(
-        win.fvx[order], win.fvy[order], win.fvz[order], z,
-        entry_slot[order], exit_c,
+        g9[0:3].T, g9[3:6].T, g9[6:9].T, z, entry_slot[order], exit_c,
     )
     rows = jnp.arange(k)
-    succ_w = win.neighbors[order][rows, exit_c]   # window-local id, -1 none
+    # neighbors/original ids straight from the sorted full arrays at the
+    # k compacted faces (the band never touches them)
+    nbr_rows = sg.neighbors[lo + order]     # (k, 3) sorted-frame ids
+    nbr_exit = nbr_rows[rows, exit_c]
+    succ_w = jnp.where(nbr_exit >= 0, nbr_exit - lo, -1)  # window-local
+    in_win = (succ_w >= 0) & (succ_w < band)
     # compact id of the successor: -1 when the neighbor is missing (open
-    # boundary), uncrossed, or compacted out (only possible on overflow —
-    # `over` flags that case, so gate the open-edge signal on ~over)
+    # boundary), uncrossed, outside the window, or compacted out (the
+    # latter two only on overflow — `over` flags that case, so gate the
+    # open-edge signal on ~over)
     succ_c = jnp.where(
-        succ_w >= 0, inv[jnp.clip(succ_w, 0, F - 1)], -1
+        in_win, inv[jnp.clip(succ_w, 0, band - 1)], -1
     )
     open_edge_c = crossed_c & (succ_c < 0)
     succ_c = jnp.where(crossed_c & (succ_c >= 0), succ_c, rows)
@@ -465,7 +480,7 @@ def _compact_slice(win: FaceGeom, z, orig_id, k: int):
         .min(rows.astype(jnp.int32), mode="drop")
     )
     succ_c = jnp.where(linked & (pred_min[succ_c] != rows), rows, succ_c)
-    return (crossed_c, start_c, end_c, succ_c, orig_id[order], over,
+    return (crossed_c, start_c, end_c, succ_c, sg.orig_id[lo + order], over,
             jnp.any(open_edge_c & ~over))
 
 
@@ -554,9 +569,9 @@ def slice_stack(
         k = min(512, band)
 
         def prep(z):
-            win, orig, overflow = _window(sg, z, band)
+            slab, lo, overflow = _window(sg, z, band)
             crossed, start, end, succ, orig_c, over, open_e = _compact_slice(
-                win, z, orig, k
+                sg, slab, lo, z, k
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
@@ -577,9 +592,9 @@ def slice_stack(
                           overflow, open_edges)
 
     def one(z):
-        win, orig, overflow = _window(sg, z, band)
+        slab, lo, overflow = _window(sg, z, band)
         c, cen, a, ta, over_c, open_e = _slice_one(
-            win, z, interp_num, max_chain, orig_id=orig,
+            sg, slab, lo, z, interp_num, max_chain,
             compact=min(512, band),
         )
         return c, cen, a, ta, overflow | over_c, open_e
@@ -646,9 +661,9 @@ def slice_raw_banded(
     faces, ~10x this cost.  Loop start = min original face index, matching
     the unbanded program's ordering.  Returns (RawLoop, overflow).
     """
-    win, orig, overflow = _window(sg, z, band)
+    slab, lo, overflow = _window(sg, z, band)
     crossed, start, end, succ, orig_c, over, _open = _compact_slice(
-        win, z, orig, k
+        sg, slab, lo, z, k
     )
     lab = _label_loops(crossed, succ)
     area, centroid, count, mean_pt = _loop_stats(crossed, start, end, lab, k)

@@ -66,9 +66,9 @@ def main():
 
     def prep_all(sg, zs):
         def prep(z):
-            win, orig, overflow = slicing._window(sg, z, band)
+            slab, lo, overflow = slicing._window(sg, z, band)
             crossed, start, end, succ, orig_c, over, open_e = (
-                slicing._compact_slice(win, z, orig, k)
+                slicing._compact_slice(sg, slab, lo, z, k)
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
@@ -78,18 +78,19 @@ def main():
 
     def window_only(sg, zs):
         def w(z):
-            win, orig, overflow = slicing._window(sg, z, band)
-            return win.fvz.sum(), orig.sum(), overflow
+            slab, lo, overflow = slicing._window(sg, z, band)
+            return slab.sum(), lo, overflow
 
         return jax.lax.map(w, zs, batch_size=chunk)
 
     def cross_only(sg, zs):
         def c(z):
-            win, orig, overflow = slicing._window(sg, z, band)
-            crossed, start, end, succ, open_e = slicing._crossing_segments(
-                win, z
-            )
-            return crossed.sum(), start.sum(), succ.sum()
+            slab, lo, overflow = slicing._window(sg, z, band)
+            d = slab[6:9] - z
+            pos = jnp.where(d == 0.0, 1e-7, d) > 0.0
+            pn = jnp.roll(pos, -1, axis=0)
+            crossed = jnp.sum(pos != pn, axis=0) == 2
+            return crossed.sum(), lo, overflow
 
         return jax.lax.map(c, zs, batch_size=chunk)
 
