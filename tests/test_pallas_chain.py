@@ -113,9 +113,11 @@ print("TPU_WALK_OK")
 """
     # inherit the env: the TPU tunnel config lives there (the suite's CPU
     # pin is in-process via force_cpu(), not env)
+    # generous bound: the tunnel's first-fetch handshake varies 6 s - 2 min
+    # and the single host core is shared with the pytest parent
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=420,
+        timeout=900,
     )
     assert "TPU_WALK_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
 
