@@ -5,8 +5,8 @@ Prints ONE JSON line:
 
 Protocol: ingest the reference fixture (or a synthetic bone if absent),
 replicate to a batch, run the full-resolution pipeline (600x512 proximal +
-200x100 full + 200x500 distal stacks, RF groove classifier, sphere
-articular segmentation, transepicondylar MRR, all metrics) and time
+200x100 full + 200x500 distal stacks, RF groove classifier, the default
+UNet-seeded articular segmentation, transepicondylar MRR, all metrics) and time
 repeated executions with block_until_ready.  Results are fetched once
 through the packed single-transfer path (pipeline/packing.py) for a sanity
 check — the TPU tunnel in this environment has seconds-to-minutes bulk D2H

@@ -53,6 +53,195 @@ void hull2d(std::vector<P2> &pts, std::vector<P2> &out) {
 
 }  // namespace
 
+namespace {
+
+// Shared inner step: given the in-plane projection of the candidate's
+// 2D hull boundary points and the height extent, update the best box.
+struct BoxState {
+  double best_vol = -1.0;
+  double axes[9], lo[3], hi[3];
+};
+
+inline void consider_rect(const std::vector<P2> &h2, double hmin, double hmax,
+                          double ax, double ay, double az, double bx,
+                          double by, double bz, double nx, double ny,
+                          double nz, BoxState &st) {
+  const size_t m = h2.size();
+  for (size_t e = 0; e < m; ++e) {
+    const P2 &p0 = h2[e];
+    const P2 &p1 = h2[(e + 1) % m];
+    double dx = p1.x - p0.x, dy = p1.y - p0.y;
+    const double dl = std::sqrt(dx * dx + dy * dy);
+    if (dl < 1e-15) continue;
+    dx /= dl;
+    dy /= dl;
+    double umin = 1e300, umax = -1e300, vmin = 1e300, vmax = -1e300;
+    for (size_t i = 0; i < m; ++i) {
+      const double u = h2[i].x * dx + h2[i].y * dy;
+      const double v = -h2[i].x * dy + h2[i].y * dx;
+      umin = std::min(umin, u);
+      umax = std::max(umax, u);
+      vmin = std::min(vmin, v);
+      vmax = std::max(vmax, v);
+    }
+    const double vol = (umax - umin) * (vmax - vmin) * (hmax - hmin);
+    if (st.best_vol < 0.0 || vol < st.best_vol) {
+      st.best_vol = vol;
+      st.axes[0] = dx * ax + dy * bx;
+      st.axes[1] = dx * ay + dy * by;
+      st.axes[2] = dx * az + dy * bz;
+      st.axes[3] = -dy * ax + dx * bx;
+      st.axes[4] = -dy * ay + dx * by;
+      st.axes[5] = -dy * az + dx * bz;
+      st.axes[6] = nx;
+      st.axes[7] = ny;
+      st.axes[8] = nz;
+      st.lo[0] = umin;
+      st.lo[1] = vmin;
+      st.lo[2] = hmin;
+      st.hi[0] = umax;
+      st.hi[1] = vmax;
+      st.hi[2] = hmax;
+    }
+  }
+}
+
+}  // namespace
+
+// Silhouette-based exact search: for each candidate normal, the 2D convex
+// hull of the projected 3D-hull vertices is exactly the polytope's
+// silhouette cycle (edges shared by one front-facing and one back-facing
+// hull facet).  Classifying T facets by the sign of normal-dot replaces the
+// per-candidate O(H log H) point sort of the plain search — ~4-10x less
+// work per candidate with bit-identical rectangles (same in-plane basis,
+// same caliper loop).  Candidates whose silhouette fails to chain into one
+// clean cycle (near-degenerate normals) fall back to the full 2D hull.
+//
+// simplices must be consistently wound CCW as seen from outside (host
+// orients them against qhull's outward equations before the call);
+// neighbors[f][k] is the facet sharing the edge OPPOSITE vertex k (scipy
+// ConvexHull convention), i.e. edge (v_{k+1}, v_{k+2}).
+extern "C" int shoulder_min_volume_obb_sil(
+    const double *hull_pts, int32_t n_pts,
+    const int32_t *simplices,   // (T, 3) indices into hull_pts
+    const int32_t *neighbors,   // (T, 3)
+    const double *face_normals, // (T, 3) outward unit (or unnormalized)
+    int32_t n_faces,
+    const double *cands, int32_t n_cands,  // (N, 3) candidate normals
+    double *out_axes, double *out_lo, double *out_hi) {
+  if (n_pts < 3 || n_faces < 1 || n_cands < 1) return 1;
+
+  BoxState st;
+  std::vector<uint8_t> front(n_faces);
+  std::vector<int32_t> stamp(n_pts, -1), nxt(n_pts);
+  std::vector<P2> h2, proj;
+  std::vector<int32_t> cyc;
+
+  for (int32_t ci = 0; ci < n_cands; ++ci) {
+    const double *nr = cands + 3 * ci;
+    double nx = nr[0], ny = nr[1], nz = nr[2];
+    const double nn = std::sqrt(nx * nx + ny * ny + nz * nz);
+    if (nn < 1e-300) continue;
+    nx /= nn;
+    ny /= nn;
+    nz /= nn;
+    // in-plane basis: identical construction to the plain search / oracle
+    const double an[3] = {std::fabs(nx), std::fabs(ny), std::fabs(nz)};
+    int hidx = 0;
+    if (an[1] < an[hidx]) hidx = 1;
+    if (an[2] < an[hidx]) hidx = 2;
+    double hx = hidx == 0, hy = hidx == 1, hz = hidx == 2;
+    double ax = hy * nz - hz * ny;
+    double ay = hz * nx - hx * nz;
+    double az = hx * ny - hy * nx;
+    const double al = std::sqrt(ax * ax + ay * ay + az * az);
+    if (al < 1e-300) continue;
+    ax /= al;
+    ay /= al;
+    az /= al;
+    const double bx = ny * az - nz * ay;
+    const double by = nz * ax - nx * az;
+    const double bz = nx * ay - ny * ax;
+
+    // facet classification
+    for (int32_t f = 0; f < n_faces; ++f) {
+      const double *fn = face_normals + 3 * f;
+      front[f] = (fn[0] * nx + fn[1] * ny + fn[2] * nz) > 0.0;
+    }
+
+    // directed silhouette edges chained via per-candidate stamps
+    int32_t n_edges = 0, start = -1;
+    bool ok = true;
+    for (int32_t f = 0; f < n_faces && ok; ++f) {
+      if (!front[f]) continue;
+      for (int k = 0; k < 3; ++k) {
+        const int32_t g = neighbors[3 * f + k];
+        if (g >= 0 && g < n_faces && front[g]) continue;
+        const int32_t a = simplices[3 * f + (k + 1) % 3];
+        const int32_t b = simplices[3 * f + (k + 2) % 3];
+        if (stamp[a] == ci) {  // second out-edge from one vertex
+          ok = false;
+          break;
+        }
+        stamp[a] = ci;
+        nxt[a] = b;
+        ++n_edges;
+        start = a;
+      }
+    }
+    if (ok && n_edges >= 3) {
+      cyc.clear();
+      int32_t v = start;
+      for (int32_t i = 0; i < n_edges; ++i) {
+        if (stamp[v] != ci) {  // chain broke before using every edge
+          ok = false;
+          break;
+        }
+        cyc.push_back(v);
+        v = nxt[v];
+      }
+      if (v != start) ok = false;  // not one closed cycle
+    } else {
+      ok = false;
+    }
+
+    double hmin = 1e300, hmax = -1e300;
+    for (int32_t i = 0; i < n_pts; ++i) {
+      const double *p = hull_pts + 3 * i;
+      const double hh = p[0] * nx + p[1] * ny + p[2] * nz;
+      hmin = std::min(hmin, hh);
+      hmax = std::max(hmax, hh);
+    }
+
+    if (ok) {
+      h2.resize(cyc.size());
+      for (size_t i = 0; i < cyc.size(); ++i) {
+        const double *p = hull_pts + 3 * cyc[i];
+        h2[i].x = p[0] * ax + p[1] * ay + p[2] * az;
+        h2[i].y = p[0] * bx + p[1] * by + p[2] * bz;
+      }
+    } else {
+      // degenerate silhouette: full projected-hull fallback (exactness)
+      proj.resize(n_pts);
+      for (int32_t i = 0; i < n_pts; ++i) {
+        const double *p = hull_pts + 3 * i;
+        proj[i].x = p[0] * ax + p[1] * ay + p[2] * az;
+        proj[i].y = p[0] * bx + p[1] * by + p[2] * bz;
+      }
+      hull2d(proj, h2);
+      if (h2.size() < 2) continue;
+    }
+    consider_rect(h2, hmin, hmax, ax, ay, az, bx, by, bz, nx, ny, nz, st);
+  }
+  if (st.best_vol < 0.0) return 2;
+  for (int i = 0; i < 9; ++i) out_axes[i] = st.axes[i];
+  for (int i = 0; i < 3; ++i) {
+    out_lo[i] = st.lo[i];
+    out_hi[i] = st.hi[i];
+  }
+  return 0;
+}
+
 extern "C" int shoulder_min_volume_obb(
     const double *hull_pts,  // (H, 3) row-major 3D hull vertices
     int32_t n_pts,

@@ -28,7 +28,9 @@ class Transform:
     def matrix(self, new_matrix):
         new_matrix = np.asarray(new_matrix)
         if new_matrix.shape != (4, 4):
-            raise ValueError("Invalid transformation matrix shape")
+            raise ValueError(
+                f"transform must be a 4x4 matrix, got shape {new_matrix.shape}"
+            )
         self._matrix = new_matrix
 
     def reset(self) -> None:

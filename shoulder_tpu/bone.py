@@ -61,22 +61,29 @@ class Canal(_LandmarkView):
         """Canal-window slice centroids in the current frame.
 
         A non-default ``cutoff_pcts`` re-runs the pipeline with that
-        line-fit window (reference canal.py:19-56 computes from the given
-        window on first call; here a changed value also invalidates the
-        cached landmarks, so repeated calls stay consistent with the
-        window most recently asked for).
+        line-fit window and it STICKS: later default-argument calls —
+        including every internal call the csys/metric paths make — reuse
+        it (reference canal.py:31 caches the first call's window; see
+        PARITY.md for the one divergence: a later DIFFERENT non-default
+        window recomputes here instead of being ignored).
         """
         self._accessed = True
-        self._bone._set_params(canal_cutoff=tuple(cutoff_pcts))
+        if tuple(cutoff_pcts) != (0.35, 0.75):
+            self._bone._set_params(canal_cutoff=tuple(cutoff_pcts))
         lm = self._lm()
         pts = lm["canal_points"]
         self._points = _tp(pts, self._tfrm.matrix)
         return self._points
 
     def axis(self, cutoff_pcts=(0.35, 0.75)) -> np.ndarray:
-        """Two endpoints of the canal line fit (reference canal.py:58-85)."""
+        """Two endpoints of the canal line fit (reference canal.py:58-85).
+
+        Window semantics identical to :meth:`points`: only a non-default
+        ``cutoff_pcts`` asserts a window; default-argument calls reuse
+        whatever window the landmarks were computed with."""
         self._accessed = True
-        self._bone._set_params(canal_cutoff=tuple(cutoff_pcts))
+        if tuple(cutoff_pcts) != (0.35, 0.75):
+            self._bone._set_params(canal_cutoff=tuple(cutoff_pcts))
         lm = self._lm()
         self._axis = _tp(lm["canal_axis"], self._tfrm.matrix)
         return self._axis
@@ -158,11 +165,17 @@ class DeepGroove(_LandmarkView):
 
         Non-default ``cutoff_pcts`` (detection window over the proximal
         stack) or ``deg_window`` (per-slice radial-argmin half-window in
-        degrees) re-run the pipeline with those values (reference
-        bicipital_groove.py:26,161,192)."""
+        degrees) re-run the pipeline with those values and stick for
+        later default-argument calls, internal ones included (reference
+        bicipital_groove.py:26,161,192 caches the first call's values)."""
         self._accessed = True
-        self._bone._set_params(groove_cutoff=tuple(cutoff_pcts),
-                               groove_deg_window=float(deg_window))
+        overrides = {}
+        if tuple(cutoff_pcts) != (0.2, 0.75):
+            overrides["groove_cutoff"] = tuple(cutoff_pcts)
+        if float(deg_window) != 7.0:
+            overrides["groove_deg_window"] = float(deg_window)
+        if overrides:
+            self._bone._set_params(**overrides)
         lm = self._lm()
         self._points = _tp(lm["bg_points"], self._tfrm.matrix)
         return self._points
@@ -284,7 +297,16 @@ class ProximalHumerus(Bone):
 
     _proximal = True
 
-    def __init__(self, stl_file, config: cfg_mod.PipelineConfig = cfg_mod.DEFAULT_CONFIG):
+    def __init__(self, stl_file,
+                 config: cfg_mod.PipelineConfig = cfg_mod.DEFAULT_CONFIG,
+                 validate: bool = False):
+        """``validate=True`` restores the reference's eager-failure timing
+        (surgical_neck.py:19 computes in __init__): the landmark program
+        runs before the constructor returns and degenerate meshes raise
+        here instead of at first landmark access.  The default stays lazy
+        — one fused program computes every landmark on first access, so
+        eager construction would front-load the full pipeline cost
+        (PARITY.md "Construction eagerness")."""
         self._cfg = config
         self._tfrm = Transform()
         self.transform = self._tfrm.matrix
@@ -301,17 +323,36 @@ class ProximalHumerus(Bone):
         self.surgical_neck = SurgicalNeck(self, "Surgical Neck")
         self.bicipital_groove = DeepGroove(self, "Bicipital Groove")
         self.anatomic_neck = AnatomicNeck(self, "Anatomic Neck")
+        if validate and self._proximal:
+            self._validate_landmarks()
+
+    def _validate_landmarks(self) -> None:
+        """Force the landmark program and fail fast on degenerate output."""
+        lm = self._landmarks()
+        core = np.concatenate(
+            [np.ravel(lm["canal_axis"]), [lm["neck_z"], lm["neckshaft"]]]
+        )
+        if not np.all(np.isfinite(core)):
+            raise ValueError(
+                f"{self._spec.name}: landmark computation produced "
+                "non-finite core landmarks (degenerate mesh?) — "
+                f"qc={lm['qc']}"
+            )
 
     # ------------------------------------------------------------- params
     def _set_params(self, **overrides) -> None:
         """Record landmark-parameter overrides (canal/groove windows).
 
-        If an override changes the value the cached landmarks were computed
-        with, the cache is invalidated so the next access recomputes with
-        the new parameters.  The reference recomputes only while a landmark
-        is still cold (canal.py:31, bicipital_groove.py:159) — invalidating
-        here is the stricter behavior: the returned values always reflect
-        the parameters most recently passed."""
+        Callers (the landmark views) only invoke this for explicitly
+        non-default arguments, so internal csys/metric paths — which call
+        the views with default args — can never wipe a user's custom
+        window.  If an override changes the value the cached landmarks
+        were computed with, the cache is invalidated so the next access
+        recomputes with the new parameters.  The reference instead caches
+        the FIRST call's values forever (canal.py:31,
+        bicipital_groove.py:159); the divergence (a later different
+        non-default value recomputes here, is ignored there) is documented
+        in PARITY.md."""
         changed = False
         for k, v in overrides.items():
             if getattr(self._effective_cfg(), k) != v:
@@ -459,12 +500,16 @@ class Humerus(ProximalHumerus):
 
     _proximal = False
 
-    def __init__(self, stl_file, config: cfg_mod.PipelineConfig = cfg_mod.DEFAULT_CONFIG):
+    def __init__(self, stl_file,
+                 config: cfg_mod.PipelineConfig = cfg_mod.DEFAULT_CONFIG,
+                 validate: bool = False):
         super().__init__(stl_file, config)
         # published API spelling preserved (reference bone.py:129)
         self.trans_epiconylar = TransEpicondylar(
             self, "Transverse Epicondylar Axis"
         )
+        if validate:
+            self._validate_landmarks()
 
     @property
     def distal_slices(self):

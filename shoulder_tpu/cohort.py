@@ -75,6 +75,8 @@ def process_cohort(
     from shoulder_tpu.models import forest
     from shoulder_tpu.pipeline import batch as B
 
+    if not len(stl_paths):
+        return []
     rf = forest.load_params()
     if device_mesh is not None:
         n_dev = device_mesh.devices.size

@@ -102,6 +102,21 @@ class PipelineConfig:
     sphere_seg_iters: int = 12
     sphere_seg_tol_mm: float = 2.0
     sphere_seg_init_top_rows: float = 0.3
+    # CNN-supported residual bound (x sphere_seg_tol_mm) in the FINAL mask:
+    # pixels the UNet marks articular stay in the mask up to this multiple
+    # of the tolerance from the consensus sphere, so flattened/eroded domes
+    # (which deviate several mm from the best sphere — e.g. flattening 0.2
+    # of a 24 mm head is ~5 mm) are not clipped to the sphere-inlier
+    # family.  Bounded so CNN false positives can't leak down the shaft.
+    # Only the "unet" segmenter path uses it (models/segment.sphere_segment
+    # support_mask).
+    sphere_seg_support_tol: float = 3.0
+    # the support engages only when the CNN persistently disagrees with the
+    # strict consensus (fraction of CNN-articular pixels outside the strict
+    # inlier set).  Healthy heads agree to ~1% — gate off, bit-identical to
+    # the plain consensus (golden stability); flattened domes produce a
+    # large coherent disagreement sector — gate on.
+    sphere_seg_support_min_disagree: float = 0.05
 
     # --- epicondyle --------------------------------------------------------
     mrr_coarse_angles: int = 256

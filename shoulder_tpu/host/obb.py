@@ -48,12 +48,15 @@ def _min_area_rect_2d(pts2d: np.ndarray):
     )
 
 
-def _native_search(hp: np.ndarray, normals: np.ndarray):
+def _native_search(hp: np.ndarray, normals: np.ndarray, hull=None):
     """Native min-volume box search (csrc/obb.cpp); None if unavailable.
 
     Same arithmetic as the numpy loop below (the oracle), in double
-    precision — the per-normal 2D hulls cost ~2.4 s/bone in Python and
-    ~10 ms native, and ingest throughput is what gates cohort streaming.
+    precision.  When the ConvexHull object is provided, the per-candidate
+    2D hull is computed as the polytope SILHOUETTE (front/back facet
+    classification over the hull adjacency) instead of a fresh point-set
+    hull — measured ~334 ms -> ~60 ms per humerus, and ingest throughput
+    is what gates cohort streaming (PERF.md round 3).
     """
     import ctypes
 
@@ -62,14 +65,50 @@ def _native_search(hp: np.ndarray, normals: np.ndarray):
     lib = native_mod._load()
     if lib is None or not hasattr(lib, "shoulder_min_volume_obb"):
         return None
-    fn = lib.shoulder_min_volume_obb
-    fn.restype = ctypes.c_int
     hp = np.ascontiguousarray(hp, np.float64)
     nrm = np.ascontiguousarray(normals, np.float64)
     axes = np.empty((3, 3), np.float64)
     lo = np.empty(3, np.float64)
     hi = np.empty(3, np.float64)
     dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int32)
+
+    if hull is not None and hasattr(lib, "shoulder_min_volume_obb_sil"):
+        # remap simplices to hull-vertex indices and orient them CCW as
+        # seen from outside (qhull's simplex winding is arbitrary; the
+        # outward direction is authoritative in `equations`)
+        inv = np.full(hull.points.shape[0], -1, np.int64)
+        inv[hull.vertices] = np.arange(hull.vertices.shape[0])
+        simp = inv[hull.simplices]
+        eqs = hull.equations[:, :3]
+        tri = hp[simp]
+        winding = np.einsum(
+            "ij,ij->i",
+            np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]),
+            eqs,
+        )
+        flip = winding < 0
+        simp[flip] = simp[flip][:, [0, 2, 1]]
+        nbr = np.array(hull.neighbors)
+        nbr[flip] = nbr[flip][:, [0, 2, 1]]
+        simp = np.ascontiguousarray(simp, np.int32)
+        nbr = np.ascontiguousarray(nbr, np.int32)
+        fnorm = np.ascontiguousarray(eqs, np.float64)
+        fn = lib.shoulder_min_volume_obb_sil
+        fn.restype = ctypes.c_int
+        rc = fn(
+            hp.ctypes.data_as(dp), ctypes.c_int32(hp.shape[0]),
+            simp.ctypes.data_as(ip), nbr.ctypes.data_as(ip),
+            fnorm.ctypes.data_as(dp), ctypes.c_int32(simp.shape[0]),
+            nrm.ctypes.data_as(dp), ctypes.c_int32(nrm.shape[0]),
+            axes.ctypes.data_as(dp), lo.ctypes.data_as(dp),
+            hi.ctypes.data_as(dp),
+        )
+        if rc == 0:
+            return axes, lo, hi
+
+    fn = lib.shoulder_min_volume_obb
+    fn.restype = ctypes.c_int
     rc = fn(
         hp.ctypes.data_as(dp), ctypes.c_int32(hp.shape[0]),
         nrm.ctypes.data_as(dp), ctypes.c_int32(nrm.shape[0]),
@@ -94,7 +133,7 @@ def oriented_bounds(vertices: np.ndarray):
     # dedupe face normals (qhull triangulates coplanar faces)
     normals = np.unique(np.round(normals, 6), axis=0)
 
-    res = _native_search(hp, normals)
+    res = _native_search(hp, normals, hull=hull)
     if res is not None:
         axes, lo, hi = res
     else:

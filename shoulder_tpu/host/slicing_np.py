@@ -41,7 +41,12 @@ def _face_crossings(vertices, faces, z, eps_scale=1e-12):
     fj = np.roll(fv, -1, axis=1)
     di = fd
     dj = np.roll(fd, -1, axis=1)
-    t = di / (di - dj)
+    # uncrossed slots have di == dj in sign (and possibly value): guard the
+    # denominator so they never raise divide-by-zero / inf*0 warnings —
+    # their t is garbage but those slots are masked out below
+    denom = di - dj
+    denom = np.where(denom == 0.0, 1.0, denom)
+    t = di / denom
     pts_all = fi + t[..., None] * (fj - fi)  # (F,3,3) intersection per slot
 
     # for each crossed face pick its two crossing slots

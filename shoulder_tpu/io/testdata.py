@@ -103,10 +103,11 @@ def synthetic_humerus(
     c = head_c[0] ** 2 + head_c[1] ** 2 - under
     disc = b**2 - c
     hit = disc > 0
-    r_head = np.where(hit, b + np.sqrt(np.maximum(disc, 0.0)), -np.inf)
+    # keep misses finite (0) so the blend multiply never forms -inf * 0
+    r_head = np.where(hit, b + np.sqrt(np.maximum(disc, 0.0)), 0.0)
     blend = _smoothstep(zz, 0.70 * length, 0.78 * length)
     head_wins = hit & (r_head * blend > r)
-    r = np.maximum(r, np.where(hit, r_head * blend + r * 0.0, -np.inf))
+    r = np.where(head_wins, r_head * blend, r)
     r = np.maximum(r, shaft_radius * (1.0 - 0.35 * _smoothstep(zz, 0.9 * length, length)))
 
     # arthritic deformations

@@ -52,6 +52,9 @@ def sphere_segment(
     tol_mm: float = 2.0,
     init_top_rows: float = 0.3,
     init_mask=None,
+    support_mask=None,
+    support_tol_factor: float = 3.0,
+    support_min_disagree: float = 0.05,
 ):
     """Segment the articular surface by robust sphere consensus.
 
@@ -67,8 +70,29 @@ def sphere_segment(
         mask here: the CNN provides the unary proposal and this consensus
         pass is the geometric-consistency refinement (the analog of the
         reference's CRF stage, anatomic_neck.py:62 "unetcrf").
+      support_mask: optional (R, C) {0,1} CNN evidence that participates in
+        the FINAL mask, not just the seed: points the CNN marks articular
+        stay in the mask up to ``support_tol_factor * tol_mm`` from the
+        consensus sphere.  This un-tethers the articular boundary from the
+        strict sphere-inlier family — flattened or eroded domes (real
+        arthritic anatomy, the case the reference's arthritic-tuned CNN
+        handled, anatomic_neck.py:61-76) deviate several mm from the best
+        sphere, and without support they would be clipped out.  The bound
+        keeps CNN false positives from leaking down the shaft (those sit
+        far outside any head-sized sphere).
+      support_tol_factor: residual bound multiplier for supported points.
+      support_min_disagree: the support term engages only when the CNN
+        PERSISTENTLY disagrees with the strict consensus — i.e. the
+        fraction of CNN-articular pixels outside the strict inlier set
+        exceeds this threshold.  On healthy heads the CNN and the sphere
+        agree to ~1%, so the gate stays off and the output is
+        bit-identical to the plain consensus (golden stability); a
+        flattened dome produces a large coherent disagreement sector and
+        turns the support on.
 
     Returns (mask (R, C) float {0,1}, radius, center, mean_resid).
+    mean_resid is measured over the final mask — widened masks on deformed
+    heads legitimately raise it, which is the QC signal's purpose.
     """
     r, c = points.shape[0], points.shape[1]
     pts = points.reshape(-1, 3)
@@ -110,7 +134,15 @@ def sphere_segment(
     w, _ = jax.lax.scan(body, w, None, length=iters)
     radius, center = fit(w)
     resid = jnp.abs(jnp.linalg.norm(pts - center, axis=1) - radius)
-    raw = (resid < tol_mm).reshape(r, c)
+    inlier = resid < tol_mm
+    if support_mask is not None:
+        sup = support_mask.reshape(-1) > 0.5
+        disagree = jnp.sum(sup & ~inlier) / jnp.maximum(jnp.sum(sup), 1)
+        engage = disagree > support_min_disagree
+        inlier = inlier | (
+            engage & sup & (resid < support_tol_factor * tol_mm)
+        )
+    raw = inlier.reshape(r, c)
     mask = _longest_cyclic_run_per_row(raw)
     mean_resid = jnp.sum(jnp.where(mask.reshape(-1), resid, 0.0)) / jnp.maximum(
         jnp.sum(mask), 1

@@ -79,11 +79,26 @@ def load_default_params():
     loading once is the deliberate fix (SURVEY.md §5 checkpoint/resume).
     """
     if not _default_params_cache:
+        import jax
+
         from shoulder_tpu.models import unet_train
 
         try:
-            _default_params_cache.append(unet_train.load_params())
-        except Exception:  # unreadable/corrupt checkpoint -> sphere fallback
+            # the first call may happen at TRACE time (compute_landmarks
+            # resolves the checkpoint inside jit): force the orbax restore
+            # to run eagerly — with a trace active, its internal device
+            # placement would otherwise see tracers and fail
+            with jax.ensure_compile_time_eval():
+                _default_params_cache.append(unet_train.load_params())
+        except Exception as e:  # unreadable/corrupt checkpoint
+            import warnings
+
+            warnings.warn(
+                "shoulder_tpu: articular UNet checkpoint failed to load "
+                f"({type(e).__name__}: {e}); falling back to the sphere "
+                "segmenter for this process",
+                RuntimeWarning,
+            )
             _default_params_cache.append(None)
     return _default_params_cache[0]
 

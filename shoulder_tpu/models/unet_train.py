@@ -316,5 +316,15 @@ def load_params(path=CKPT_DIR, size: int = 512):
         lambda k: model.init(k, jnp.zeros((1, size, size, 1))),
         jax.random.PRNGKey(0),
     )
+    # Pin an explicit sharding on THIS host's default device: the saved
+    # checkpoint's metadata records the device it was trained on (e.g.
+    # 'TPU v5 lite0'), and letting orbax honor that on a host without the
+    # device would fail the restore and silently downgrade the default
+    # segmenter to 'sphere' (host-dependent results).
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    template = jax.tree.map(
+        lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=sharding),
+        template,
+    )
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, template)

@@ -224,16 +224,19 @@ def _peaks_core_rq(x, height: float, prominence: float, width: float):
 
 
 def _peaks_core_dense(x, height: float, prominence: float, width: float,
-                      cand_cap: int = 128):
+                      cand_cap: int | None = None):
     """find_peaks core via dense pairwise masks over compacted candidates.
 
     One big fused elementwise program — the fastest formulation on TPU,
     where the VPU eats wide dense ops and the range-query variant's
     serialized gather rounds lose by ~1.5x at n=512.  Only local maxima
-    participate as mask rows: they are compacted to `cand_cap` slots
-    first, so the masks are (C, n) instead of (n, n) — a signal can have
-    at most n/2 maxima and the smoothed groove contours have ~10-50, so
-    128 slots lose nothing while cutting the mask work 4x.
+    participate as mask rows: they are compacted to candidate slots
+    first, so the masks are (C, n) instead of (n, n).  Strict local
+    maxima are never adjacent (and the +inf edge pads exclude the ends),
+    so ``n // 2 + 1`` slots hold EVERY possible candidate — the default
+    cap is exact, not a truncation, keeping this core's output identical
+    to the rq core and scipy on any input while still halving the mask
+    work relative to (n, n).
     """
     n = x.shape[0]
     i = jnp.arange(n)
@@ -243,7 +246,7 @@ def _peaks_core_dense(x, height: float, prominence: float, width: float,
     is_peak = (x > left) & (x > right)
     is_peak = is_peak & (x >= height)
 
-    c = min(cand_cap, n)
+    c = min(n // 2 + 1 if cand_cap is None else cand_cap, n)
     csum = jnp.cumsum(is_peak.astype(jnp.int32))
     dest = jnp.where(is_peak, csum - 1, c)
     cand = (

@@ -660,7 +660,14 @@ def slice_raw_banded(
     the full-set pointer doubling is ~2 log2(F) gather rounds over 40k
     faces, ~10x this cost.  Loop start = min original face index, matching
     the unbanded program's ordering.  Returns (RawLoop, overflow).
+
+    `k` is clamped to the band (and the band to the face count): an
+    unclamped k > band would leave _compact_slice's scatter slots
+    [band, k) at their zero init, replicating window face 0 into the
+    compacted set and corrupting loop labelling.
     """
+    band = min(band, sg.z_min.shape[0])
+    k = min(k, band)
     slab, lo, overflow = _window(sg, z, band)
     crossed, start, end, succ, orig_c, over, _open = _compact_slice(
         sg, slab, lo, z, k

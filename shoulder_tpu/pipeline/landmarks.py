@@ -145,8 +145,9 @@ def _surgical_neck(stack, bone: BoneTensors, proximal: bool,
     t = sig.rbf_changepoint_1bkp(areas, min_size=cfg.cpd_min_size)
     neck_z = zs[t]
 
-    raw = _raw_loop_at(bone, neck_z, max_chain, select="central", sg=sg,
-                       band=cfg.full.band)
+    raw, overflow = _raw_loop_at(
+        bone, neck_z, max_chain, select="central", sg=sg, band=cfg.full.band
+    )
     pts3 = jnp.concatenate(
         [raw.points, jnp.full((max_chain, 1), neck_z, raw.points.dtype)],
         axis=1,
@@ -154,20 +155,22 @@ def _surgical_neck(stack, bone: BoneTensors, proximal: bool,
     pts_ct = _to_ct(pts3, bone.obb_transform)
     valid = jnp.arange(max_chain) < raw.n
     pts_ct = jnp.where(valid[:, None], pts_ct, 0.0)
-    return neck_z, pts_ct, raw.n
+    return neck_z, pts_ct, raw.n, overflow
 
 
 def _raw_loop_at(bone: BoneTensors, z, max_chain, select, sg=None,
                  band: int = 2048):
+    """Returns (RawLoop, overflow) — overflow means the band window missed
+    a crossing face and the loop may be truncated; callers route it into
+    qc_slice_overflow alongside the stack kernels' flags."""
     if sg is None:
         sg = slicing.sorted_geom(
             geom.transform_pts(bone.verts, bone.obb_transform),
             bone.faces, bone.neighbors,
         )
-    raw, _overflow = slicing.slice_raw_banded(
+    return slicing.slice_raw_banded(
         sg, z, min(band, bone.faces.shape[0]), max_chain, select
     )
-    return raw
 
 
 # ---------------------------------------------------------------- polar
@@ -324,8 +327,11 @@ def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
 
 
 # --------------------------------------------------------------------- F
-def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
-                   cfg: PipelineConfig, seg_params=None, out_n: int = 2048):
+def _anp_image_points(prox: slicing.SliceStack, bg_theta,
+                      cfg: PipelineConfig):
+    """The anatomic-neck polar image + per-pixel OBB-frame surface points
+    (reference anatomic_neck.py:34-58).  Split out so evaluation tooling
+    can inject oracle masks downstream (_anp_from_mask)."""
     n = prox.zs.shape[0]
     interp = cfg.proximal.interp_num
     s, e = _cutoff_bounds(n, cfg.anp_cutoff)
@@ -355,6 +361,12 @@ def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
     y = r_im * jnp.sin(t_im)
     z = jnp.broadcast_to(zs[:, None], (R, interp))
     pts = jnp.stack([x, y, z], axis=-1)          # (R,512,3)
+    return image, pts
+
+
+def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
+                   cfg: PipelineConfig, seg_params=None, out_n: int = 2048):
+    image, pts = _anp_image_points(prox, bg_theta, cfg)
 
     if cfg.segmenter == "unet" and seg_params is not None:
         # UNet over the normalized polar image (the reference's interface,
@@ -371,15 +383,34 @@ def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
         unary = segment._longest_cyclic_run_per_row(unary > 0.5).astype(
             image.dtype
         )
+        # the CNN both SEEDS the robust-sphere consensus and SUPPORTS the
+        # final mask: supported pixels stay articular up to
+        # sphere_seg_support_tol x tol from the consensus sphere, so the
+        # boundary can follow flattened/eroded domes the strict inlier set
+        # would clip (the arthritic case the reference's tuned CNN handled,
+        # anatomic_neck.py:61-76)
         mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(
             pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
             cfg.sphere_seg_init_top_rows, init_mask=unary,
+            support_mask=unary,
+            support_tol_factor=cfg.sphere_seg_support_tol,
+            support_min_disagree=cfg.sphere_seg_support_min_disagree,
         )
     else:
         mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(
             pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
             cfg.sphere_seg_init_top_rows,
         )
+    return _anp_from_mask(mask, pts, bone, sph_resid, out_n)
+
+
+def _anp_from_mask(mask, pts, bone: BoneTensors, sph_resid,
+                   out_n: int = 2048):
+    """Rim extraction, plane fit, ellipse recenter, axis rays, and
+    radius-of-curvature from an articular mask (reference
+    anatomic_neck.py:123-236).  Mask-source-agnostic: the pipeline passes
+    the segmenter output; evaluation tooling passes oracle (exact
+    generative) masks."""
     maski = mask.astype(jnp.int32)
     edge = jnp.abs(jnp.diff(maski, prepend=0, axis=-1)) > 0   # (R,512)
 
@@ -541,7 +572,7 @@ def compute_landmarks(
     )
 
     # B: surgical neck
-    neck_z, sn_points, sn_n = _surgical_neck(
+    neck_z, sn_points, sn_n, sn_overflow = _surgical_neck(
         full, bone, proximal, cfg, cfg.max_chain, sg=sg
     )
 
@@ -571,7 +602,7 @@ def compute_landmarks(
      ) = _anatomic_neck(prox, bone, bg_theta, cfg, seg_params=seg_params)
 
     # G: transepicondylar (full bones only)
-    overflow = jnp.any(full.overflow) | jnp.any(prox.overflow)
+    overflow = jnp.any(full.overflow) | jnp.any(prox.overflow) | sn_overflow
     open_edges = jnp.any(full.open_edges) | jnp.any(prox.open_edges)
     if proximal:
         te_axis = jnp.zeros((2, 3), jnp.float32)

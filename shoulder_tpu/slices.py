@@ -89,19 +89,28 @@ class SliceSet:
         return np.transpose(c - cen[:, None, :], (0, 2, 1))
 
     def _pol(self, xy_s2n, sort: bool, roll_min: bool) -> np.ndarray:
-        out = np.zeros_like(xy_s2n)
-        for i, p in enumerate(xy_s2n):
-            theta = np.arctan2(p[1], p[0])
-            r = np.hypot(p[0], p[1])
-            if sort:
-                order = np.argsort(theta)
-                theta, r = theta[order], r[order]
-            elif roll_min:
-                k = int(np.argmin(theta))
-                theta = np.roll(theta, -k)
-                r = np.roll(r, -k)
-            out[i, 0], out[i, 1] = theta, r
-        return out
+        theta = np.arctan2(xy_s2n[:, 1], xy_s2n[:, 0])   # (S, N)
+        r = np.hypot(xy_s2n[:, 0], xy_s2n[:, 1])
+        if sort:
+            order = np.argsort(theta, axis=1)
+            theta = np.take_along_axis(theta, order, axis=1)
+            r = np.take_along_axis(r, order, axis=1)
+        elif roll_min:
+            # roll each row so its min-theta sample leads: a gather at
+            # (argmin + j) % N per row — vectorized over all slices
+            n = theta.shape[1]
+            k = np.argmin(theta, axis=1)[:, None]
+            idx = (k + np.arange(n)[None, :]) % n
+            theta = np.take_along_axis(theta, idx, axis=1)
+            r = np.take_along_axis(r, idx, axis=1)
+        return np.stack([theta, r], axis=1)
+
+    def slices(self, cutoff) -> list:
+        """Per-slice cross-section point arrays, one (N, 2) array per slice
+        (reference slice.py:31-32 returns trimesh Path2D objects; the
+        resampled largest-loop point list is the array-native analog)."""
+        c = self._cut(self._compute()["contours"], cutoff)
+        return [np.asarray(p) for p in c]
 
     def itr(self, cutoff) -> np.ndarray:
         """Quirk preserved: the reference's itr() returns CARTESIAN data

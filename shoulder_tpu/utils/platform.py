@@ -15,9 +15,16 @@ import jax.extend.backend as _jeb
 
 
 def force_cpu(num_devices: int = 1) -> None:
-    if jax.default_backend() == "cpu" and len(jax.devices()) >= num_devices:
-        return
+    # Set the platform BEFORE any backend query: jax.default_backend()
+    # would initialize the TPU plugin first, which both wastes the TPU
+    # handshake and can hang the process outright when the tunnel is in
+    # its stale-client wedged state (the wedge blocks at client init).
     jax.config.update("jax_platforms", "cpu")
+    if (
+        jax.default_backend() == "cpu"
+        and len(jax.devices()) >= num_devices
+    ):
+        return
     _jeb.clear_backends()
     if num_devices > 1:
         jax.config.update("jax_num_cpu_devices", num_devices)

@@ -11,8 +11,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 import jax.extend.backend as _jeb  # noqa: E402
 
+# set the platform BEFORE the first backend query: jax.default_backend()
+# would otherwise initialize the TPU plugin, which wastes the tunnel
+# handshake and can hang outright when the tunnel is in its stale-client
+# wedged state (see utils/platform.force_cpu)
+jax.config.update("jax_platforms", "cpu")
 if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
-    jax.config.update("jax_platforms", "cpu")
     _jeb.clear_backends()
     jax.config.update("jax_num_cpu_devices", 8)
     _jeb.clear_backends()
@@ -39,3 +43,19 @@ def synthetic_bone():
 
     rng = np.random.default_rng(0)
     return synthetic_humerus(rng_transform=rng)
+
+
+@pytest.fixture(scope="session")
+def tiny_spec(tmp_path_factory):
+    """A small synthetic bone ingested under tiny_config (fast compiles)."""
+    from shoulder_tpu.config import tiny_config
+    from shoulder_tpu.io import stl
+    from shoulder_tpu.io.testdata import synthetic_humerus
+
+    rng = np.random.default_rng(1)
+    v, f = synthetic_humerus(rng_transform=rng, n_rings=40, n_theta=32)
+    p = tmp_path_factory.mktemp("bones") / "tiny.stl"
+    stl.write_stl(p, v, f)
+    from shoulder_tpu.io import ingest
+
+    return ingest.load_bone(p, config=tiny_config())

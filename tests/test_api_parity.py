@@ -128,6 +128,35 @@ def test_bone_instance_attributes(tmp_path):
     assert not hasattr(ph, "trans_epiconylar")
 
 
+# --- slice-set accessors (reference humerus/slice.py) ---------------------
+def test_slice_set_surface():
+    """The L3 accessor surface (reference slice.py:31-155).  Every member
+    takes the fractional cutoff window; `slices` is the per-slice entry
+    point (Path2D in the reference, per-slice point arrays here)."""
+    from shoulder_tpu.slices import SliceSet
+
+    for name in ["slices", "centroids", "areas1", "zs", "ixy",
+                 "ixy_centered", "itr", "itr_centered", "itr_start",
+                 "itr_centered_start", "itr_start_even_theta"]:
+        _check_method(SliceSet, name, [("cutoff", E)])
+
+
+def test_slice_set_slices_accessor(tiny_spec):
+    """slices() returns one (N, 2) array per slice in the cutoff window,
+    consistent with ixy()'s layout."""
+    from shoulder_tpu import slices as slices_mod
+    from shoulder_tpu.config import tiny_config
+
+    ss = slices_mod.full_slices(tiny_spec, config=tiny_config())
+    cut = (0.2, 0.8)
+    per_slice = ss.slices(cut)
+    ixy = ss.ixy(cut)
+    assert len(per_slice) == ixy.shape[0]
+    for i, p in enumerate(per_slice):
+        assert p.shape == (ixy.shape[2], 2)
+        assert np.allclose(p.T, ixy[i])
+
+
 # --- surgical planning (reference arthroplasty.py) ------------------------
 def test_osteotomy_surface():
     cls = shoulder_tpu.HumeralHeadOsteotomy

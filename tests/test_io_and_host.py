@@ -151,13 +151,36 @@ def test_obb_native_matches_numpy(synthetic_bone):
     verts, _ = synthetic_bone
     tn, en = obb_host.oriented_bounds(verts)
     orig = obb_host._native_search
-    obb_host._native_search = lambda *a: None
+    obb_host._native_search = lambda *a, **k: None
     try:
         tp, ep = obb_host.oriented_bounds(verts)
     finally:
         obb_host._native_search = orig
     assert np.allclose(en, ep, atol=1e-9)
     assert np.allclose(tn, tp, atol=1e-9)
+
+
+def test_obb_silhouette_matches_plain_search(synthetic_bone):
+    """The silhouette-cycle candidate hull (shoulder_min_volume_obb_sil)
+    must agree with the plain per-candidate 2D-hull search bit-for-bit:
+    the silhouette of a convex polytope IS the projected hull boundary,
+    so only the route to it differs (front/back facet classification vs a
+    fresh point-set hull per candidate — the ~5x ingest win, PERF.md)."""
+    from scipy.spatial import ConvexHull
+
+    from shoulder_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built and no toolchain")
+    verts, _ = synthetic_bone
+    hull = ConvexHull(verts)
+    hp = verts[hull.vertices]
+    normals = np.unique(np.round(hull.equations[:, :3], 6), axis=0)
+    legacy = obb_host._native_search(hp, normals, hull=None)
+    sil = obb_host._native_search(hp, normals, hull=hull)
+    assert legacy is not None and sil is not None
+    for a, b in zip(legacy, sil):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_ingest_full_bone(synthetic_bone):

@@ -308,7 +308,8 @@ def test_open_edges_qc(synth_spec, tiny_cfg, tmp_path):
 def test_landmark_params_honored(synth_spec, tiny_cfg, tmp_path):
     """Non-default reference-API parameters must change the outputs
     (canal.py:19, bicipital_groove.py:26) instead of being silently
-    ignored; reverting to defaults restores the default results."""
+    ignored, and they STICK: later default-argument calls reuse them
+    (the reference caches the first call's window, canal.py:31)."""
     import shoulder_tpu
 
     p = tmp_path / "synth.stl"
@@ -323,20 +324,77 @@ def test_landmark_params_honored(synth_spec, tiny_cfg, tmp_path):
     assert len(pts_narrow) < len(pts_default)
     assert (np.linalg.norm(ax_narrow[0] - ax_narrow[1])
             < np.linalg.norm(ax_default[0] - ax_default[1]))
-    # back to the default window: default results again
-    assert np.allclose(hum.canal.points(), pts_default, atol=1e-5)
+    # sticky: a default-args call reuses the custom window (reference
+    # first-call caching), it does NOT reset to defaults
+    assert np.allclose(hum.canal.points(), pts_narrow, atol=1e-5)
+    # a DIFFERENT explicit window recomputes (documented divergence from
+    # the reference's ignore-after-first-call)
+    pts_other = hum.canal.points(cutoff_pcts=(0.40, 0.70)).copy()
+    assert len(pts_other) != len(pts_narrow)
 
-    bg_default = hum.bicipital_groove.points().copy()
-    # deg_window reaches the pipeline config and triggers a recompute (on
-    # this clean synthetic groove the wider argmin window lands on the same
-    # minimum, so assert the plumbing, not a value change)
-    hum.bicipital_groove.points(deg_window=21)
-    assert hum._effective_cfg().groove_deg_window == 21.0
-    bg_cut = hum.bicipital_groove.points(cutoff_pcts=(0.3, 0.6)).copy()
-    assert hum._effective_cfg().groove_deg_window == 7.0  # reset by default
+    hum2 = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    bg_default = hum2.bicipital_groove.points().copy()
+    # deg_window reaches the pipeline config, triggers a recompute, and
+    # sticks across later default-argument calls (on this clean synthetic
+    # groove the wider argmin window lands on the same minimum, so assert
+    # the plumbing, not a value change)
+    hum2.bicipital_groove.points(deg_window=21)
+    assert hum2._effective_cfg().groove_deg_window == 21.0
+    bg_cut = hum2.bicipital_groove.points(cutoff_pcts=(0.3, 0.6)).copy()
+    assert hum2._effective_cfg().groove_deg_window == 21.0  # sticky
+    assert hum2._effective_cfg().groove_cutoff == (0.3, 0.6)
     assert len(bg_cut) != len(bg_default) or not np.allclose(
         bg_cut[: len(bg_default)], bg_default
     )
+
+
+def test_custom_window_survives_apply_csys(synth_spec, tiny_cfg, tmp_path):
+    """Regression (VERDICT r2 weak #2): the internal canal.axis() call
+    inside apply_csys_* passes default args and must NOT wipe a user's
+    custom canal window — the csys must be built FROM the custom-window
+    landmarks, and a later default-args read must round-trip them."""
+    import shoulder_tpu
+
+    p = tmp_path / "synth.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+
+    hum = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    pts_custom = hum.canal.points((0.45, 0.65)).copy()
+    hum.apply_csys_canal_articular()
+    # the override is still in force and the cache was not rebuilt with
+    # default windows
+    assert hum._effective_cfg().canal_cutoff == (0.45, 0.65)
+    pts_after = hum.canal.points()
+    assert len(pts_after) == len(pts_custom)
+    hum.apply_csys_ct()
+    assert np.allclose(hum.canal.points(), pts_custom, atol=1e-5)
+
+    # and the csys itself must differ from the default-window csys when the
+    # windows give different canal axes
+    hum_d = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    tf_default = hum_d.apply_csys_canal_articular().copy()
+    hum_c = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    hum_c.canal.points((0.45, 0.65))
+    tf_custom = hum_c.apply_csys_canal_articular().copy()
+    ax_d = hum_d._landmarks()["canal_axis"]
+    ax_c = hum_c._landmarks()["canal_axis"]
+    if not np.allclose(ax_d, ax_c, atol=1e-6):
+        assert not np.allclose(tf_default, tf_custom, atol=1e-8)
+
+
+def test_validate_eager_construction(synth_spec, tiny_cfg, tmp_path):
+    """validate=True restores the reference's eager-failure timing
+    (surgical_neck.py:19): landmarks are computed before the ctor returns.
+    The default stays lazy (PARITY.md 'Construction eagerness')."""
+    import shoulder_tpu
+
+    p = tmp_path / "synth.stl"
+    stl.write_stl(p, synth_spec.vertices_raw, synth_spec.faces_raw)
+    lazy = shoulder_tpu.Humerus(p, config=tiny_cfg)
+    assert lazy._lm_cache is None
+    eager = shoulder_tpu.Humerus(p, config=tiny_cfg, validate=True)
+    assert eager._lm_cache is not None
+    assert np.isfinite(eager.neckshaft())
 
 
 def test_canal_get_transform(synth_spec, tiny_cfg, tmp_path):

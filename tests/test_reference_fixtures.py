@@ -113,3 +113,43 @@ def test_proximal_humerus_on_real_crop(tmp_path):
     assert 18.0 < ph.radius_curvature() < 30.0
     assert ph.canal.axis().shape == (2, 3)
     assert not ph.quality()["slice_band_overflow"]
+
+
+def test_sharded_fullres_unet_equals_unsharded():
+    """Full-resolution multi-device evidence WITH the default UNet
+    segmenter (VERDICT r2 item 5): humerus_left x8 sharded over the
+    8-CPU mesh must match the unsharded batch within fp tolerance.  The
+    tiny-config sharding tests force segmenter='sphere'; this is the only
+    place the shipped default path executes inside the sharded program at
+    full resolution."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shoulder_tpu.config import DEFAULT_CONFIG
+    from shoulder_tpu.io import ingest
+    from shoulder_tpu.models import forest, unet
+    from shoulder_tpu.parallel import mesh as pmesh
+    from shoulder_tpu.pipeline import batch as B
+
+    assert DEFAULT_CONFIG.segmenter == "unet"
+    assert unet.load_default_params() is not None
+    n = len(jax.devices())
+    assert n == 8
+    spec = ingest.load_bone(reference_stl("humerus_left.stl"))
+    bt = B.stack_bones([spec] * n)
+    ref = B.landmarks_to_numpy(B.compute_landmarks_batch(bt, chunk=50))
+
+    mesh = pmesh.bone_mesh()
+    sharded = pmesh.shard_bones(bt, mesh)
+    rf = jax.device_put(forest.load_params(), NamedSharding(mesh, P()))
+    fn = pmesh.sharded_landmark_fn(mesh, chunk=50)
+    out = jax.tree.map(np.asarray, fn(sharded, rf))
+    assert np.allclose(out.neckshaft, ref.neckshaft, atol=1e-3)
+    assert np.allclose(out.retroversion, ref.retroversion, atol=1e-3)
+    assert np.allclose(out.canal_axis, ref.canal_axis, atol=1e-2)
+    assert np.allclose(out.anp_plane_normal, ref.anp_plane_normal,
+                       atol=1e-3)
+    # the UNet actually ran: all 8 shards agree and the mask is plausible
+    assert np.all(out.qc_mask_area_frac > 0.05)
+    assert np.allclose(out.qc_mask_area_frac, ref.qc_mask_area_frac,
+                       atol=1e-4)

@@ -44,6 +44,28 @@ def test_find_peaks_matches_scipy(seed, method):
     assert np.allclose(wh, ref_prop["width_heights"], atol=1e-4)
 
 
+@pytest.mark.parametrize("method", ["dense", "rq"])
+def test_find_peaks_unsmoothed_noise_matches_scipy(method):
+    """Raw (unsmoothed) noise maximizes the local-maxima count (~n/3),
+    stressing the dense core's candidate compaction: its slot cap must be
+    exact, not a truncation, for the two cores to stay identical
+    (ADVICE r2: a 128-slot cap silently dropped maxima 129+)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=512).astype(np.float32)
+    ref_idx, ref_prop = scipy.signal.find_peaks(
+        x.astype(np.float64), height=-10, prominence=0.05, width=0.0
+    )
+    assert len(ref_idx) > 128  # the regression's precondition
+    ours = sig.find_peaks(x, height=-10.0, prominence=0.05, width=0.0,
+                          max_peaks=512, method=method)
+    ok = np.asarray(ours["valid"])
+    idx = np.sort(np.asarray(ours["idx"])[ok])
+    assert idx.tolist() == ref_idx.tolist()
+    order = np.argsort(np.asarray(ours["idx"])[ok])
+    prom = np.asarray(ours["prominences"])[ok][order]
+    assert np.allclose(prom, ref_prop["prominences"], atol=1e-4)
+
+
 def test_find_peaks_respects_filters():
     x = np.zeros(64, np.float32)
     x[10] = 1.0   # prominence 1

@@ -79,6 +79,25 @@ def test_raw_loop_matches_oracle(synthetic_bone):
     assert np.allclose(np.asarray(raw.points[:n]), loop["points"], atol=2e-3)
 
 
+def test_raw_banded_small_band_clamps_k(synthetic_bone):
+    """band < k must not corrupt the compacted set (ADVICE r2: unclamped
+    k left scatter slots [band, k) at zero, duplicating window face 0)."""
+    verts, faces = synthetic_bone
+    v32, f32, nb = _prep(verts, faces)
+    z = float(np.mean(verts[:, 2]))
+    sg = slicing.sorted_geom(v32, f32, nb)
+    full = slicing.slice_raw(v32, f32, nb, np.float32(z), select="largest")
+    raw, overflow = slicing.slice_raw_banded(
+        sg, np.float32(z), band=256, k=512
+    )
+    if not bool(overflow):
+        n = int(raw.n)
+        assert n == int(full.n)
+        assert np.allclose(
+            np.asarray(raw.points[:n]), np.asarray(full.points[:n]), atol=2e-3
+        )
+
+
 def test_raw_central_selection():
     # two disjoint solids at one z: central selection must pick the one
     # nearer the z-axis even though it is smaller

@@ -42,7 +42,7 @@ def polar_pairs(stl_paths, cfg=None):
             verts_obb, bt.faces, bt.neighbors, zs_full,
             cfg.full.interp_num, cfg.max_chain, 50, cfg.full.band,
         )
-        neck_z, _, _ = L._surgical_neck(full, bt, False, cfg, cfg.max_chain)
+        neck_z, _, _, _ = L._surgical_neck(full, bt, False, cfg, cfg.max_chain)
         zs_prox = jnp.linspace(
             cfg.z_inset * bt.z_max, neck_z, cfg.proximal.zslice_num
         )
@@ -53,28 +53,8 @@ def polar_pairs(stl_paths, cfg=None):
         _, _, canal_axis, _, _ = L._canal(full, bt, False, cfg)
         _, _, bg_theta, _ = L._groove(prox, bt, canal_axis, rf, cfg, chunk=16)
 
-        # replicate the anatomic-neck polar image build
-        n = prox.zs.shape[0]
-        interp = cfg.proximal.interp_num
-        s, e = L._cutoff_bounds(n, cfg.anp_cutoff)
-        contours = prox.contours[s:e]
-        zs = prox.zs[s:e]
-        R = e - s
-        zero = jnp.zeros(2, contours.dtype)
-
-        def polar_row(contour):
-            th, r = L._to_polar_start(contour, zero)
-            t_samp = jnp.linspace(th[0], th[-2], interp)
-            r_i = jnp.interp(t_samp, th[:-1], r[:-1])
-            shift = jnp.argmin(jnp.abs(t_samp - bg_theta))
-            return jnp.roll(t_samp, -shift), jnp.roll(r_i, -shift)
-
-        t_im, r_im = jax.vmap(polar_row)(contours)
-        image = (r_im - jnp.min(r_im)) / (jnp.max(r_im) - jnp.min(r_im))
-        x = r_im * jnp.cos(t_im)
-        y = r_im * jnp.sin(t_im)
-        z = jnp.broadcast_to(zs[:, None], (R, interp))
-        pts = jnp.stack([x, y, z], axis=-1)
+        # the pipeline's exact anatomic-neck polar image build
+        image, pts = L._anp_image_points(prox, bg_theta, cfg)
         mask, _, _, _ = segment.sphere_segment(
             pts, cfg.sphere_seg_iters, cfg.sphere_seg_tol_mm,
             cfg.sphere_seg_init_top_rows,

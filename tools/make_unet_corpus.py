@@ -102,27 +102,8 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
         _, _, canal_axis, _, _ = L._canal(full, bt, False, cfg)
         _, _, bg_theta, _ = L._groove(prox, bt, canal_axis, rf, cfg, chunk=16)
 
-        n = prox.zs.shape[0]
-        interp = cfg.proximal.interp_num
-        s, e = L._cutoff_bounds(n, cfg.anp_cutoff)
-        contours = prox.contours[s:e]
-        zs = prox.zs[s:e]
-        R = e - s
-        zero = jnp.zeros(2, contours.dtype)
-
-        def polar_row(contour):
-            th, r = L._to_polar_start(contour, zero)
-            t_samp = jnp.linspace(th[0], th[-2], interp)
-            r_i = jnp.interp(t_samp, th[:-1], r[:-1])
-            shift = jnp.argmin(jnp.abs(t_samp - bg_theta))
-            return jnp.roll(t_samp, -shift), jnp.roll(r_i, -shift)
-
-        t_im, r_im = jax.vmap(polar_row)(contours)
-        image = (r_im - jnp.min(r_im)) / (jnp.max(r_im) - jnp.min(r_im))
-        x = r_im * jnp.cos(t_im)
-        y = r_im * jnp.sin(t_im)
-        z = jnp.broadcast_to(zs[:, None], (R, interp))
-        pts = jnp.stack([x, y, z], axis=-1)
+        # the pipeline's exact anatomic-neck polar image build
+        image, pts = L._anp_image_points(prox, bg_theta, cfg)
 
         # identity build frame: pixel -> (ring, theta) grid cell
         pts_ct = geom.transform_pts(
