@@ -94,9 +94,12 @@ def process_cohort(
         for i in range(0, len(stl_paths), batch_size)
     ]
 
+    from shoulder_tpu.pipeline import packing
+
     specs, lms = [], []
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(ingest_chunk, path_chunks[0])
+        pending = None  # previous batch: (packed device buffer, lm, n_real)
         for ci, paths in enumerate(path_chunks):
             chunk_specs = fut.result()
             if ci + 1 < len(path_chunks):
@@ -106,9 +109,19 @@ def process_cohort(
                 chunk_specs, rf, proximal, config, device_mesh, chunk,
                 batch_size,
             )
-            lm = B.landmarks_to_numpy(lm)  # syncs this batch
+            # jit dispatch is async.  Enqueue this batch's single-buffer
+            # pack right behind its own compute (the device queue is FIFO,
+            # so packing the PREVIOUS batch here would wait out this
+            # batch's whole program), then pull the previous batch's
+            # already-computed packed buffer over the tunnel while this
+            # batch executes — readback (~0.5-1 s/batch) no longer idles
+            # the device between batches.
+            packed = packing._pack_jitted(lm)
+            if pending is not None:
+                lms.append(_unpack_batch(*pending))
+            pending = (packed, lm, n_real)
             specs.extend(chunk_specs)
-            lms.append((lm, n_real))
+        lms.append(_unpack_batch(*pending))
 
     lm = jax_tree_concat(lms)
 
@@ -138,6 +151,13 @@ def process_cohort(
             }
         )
     return out
+
+
+def _unpack_batch(packed, lm, n_real):
+    """Blocking D2H of one batch's packed result buffer -> numpy Landmarks."""
+    from shoulder_tpu.pipeline import packing
+
+    return packing.unpack(np.asarray(packed), lm), n_real
 
 
 def jax_tree_concat(lms):

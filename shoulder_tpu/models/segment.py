@@ -25,25 +25,48 @@ import jax.numpy as jnp
 
 
 def _longest_cyclic_run_per_row(mask):
-    """Keep only the longest contiguous cyclic run of True in each row."""
+    """Keep only the longest contiguous cyclic run of True in each row.
+
+    Gather-free formulation (the one-gather-one-scatter-per-row original
+    cost ~78 ms per call at batch 8 on v5e — 2x of it dominated the whole
+    articular stage): each position's run is described by the nearest
+    False on either side, both computed with directional cumulative
+    extrema — pure elementwise math plus log-depth scans on the lane
+    axis.  The winning run maximizes (length, -cyclic start order), the
+    same run the rolled run-id/argmax formulation selected: ties break
+    toward the run encountered first when scanning from the first False
+    (cyclically), and a wrapped run starts at its tail segment's start.
+    """
     n = mask.shape[-1]
-
-    def one_row(m):
-        first_false = jnp.argmin(m)  # 0 if all true
-        idx = (jnp.arange(n) + first_false) % n
-        r = m[idx]
-        starts = r & ~jnp.roll(r, 1)
-        starts = starts.at[0].set(r[0])
-        rid = jnp.where(r, jnp.cumsum(starts) - 1, -1)
-        counts = jnp.zeros(n + 1, dtype=jnp.int32).at[
-            jnp.where(rid >= 0, rid, n)
-        ].add(1)
-        best = jnp.argmax(counts[:n])
-        keep = rid == best
-        out = jnp.zeros(n, dtype=bool).at[idx].set(keep)
-        return out & m
-
-    return jax.vmap(one_row)(mask)
+    m = mask
+    i = jnp.arange(n)
+    neg = jnp.where(~m, i, -1)
+    prev_false = jax.lax.cummax(neg, axis=m.ndim - 1)           # -1 if none
+    pos = jnp.where(~m, i, n)
+    next_false = jax.lax.cummin(pos, axis=m.ndim - 1,
+                                reverse=True)                    # n if none
+    runlen = next_false - prev_false - 1                         # valid at m
+    # cyclic wrap: when both ends are True, the first and last linear runs
+    # are one run (head length + tail length); its start is the tail's
+    first_false = jnp.min(pos, axis=-1, keepdims=True)           # n if all T
+    last_false = jnp.max(neg, axis=-1, keepdims=True)            # -1 if none
+    has_false = first_false < n
+    wrap = has_false & m[..., :1] & m[..., -1:]
+    head_len = first_false
+    tail_len = n - 1 - last_false
+    wrap_len = head_len + tail_len
+    in_head = m & (i < first_false)
+    in_tail = m & (i > last_false)
+    in_wrap = wrap & (in_head | in_tail)
+    runlen = jnp.where(in_wrap, wrap_len, runlen)
+    start = jnp.where(in_wrap, last_false + 1, prev_false + 1)
+    # cyclic order of the run start, counted from the first False: the
+    # rolled formulation enumerates runs in this order and argmax takes
+    # the first max, so ties prefer the smallest cyclic start
+    start_cyc = jnp.where(has_false, (start - first_false) % n, 0)
+    key = jnp.where(m, runlen * (n + 1) + (n - start_cyc), -1)
+    best = jnp.max(key, axis=-1, keepdims=True)
+    return m & (key == best) & (best >= 0)
 
 
 def sphere_segment(

@@ -340,11 +340,14 @@ def _resample(points, n_valid, interp_num, max_chain):
     src = jax.lax.cummax(src)
 
     d = jnp.arange(interp_num, dtype=cum.dtype) * step
-    c0 = cum[src]
-    c1 = cum[jnp.minimum(src + 1, max_chain)]
+    # one (x, y, cum) table -> two row gathers instead of four (gather cost
+    # scales with rows fetched, not bytes per row)
+    table = jnp.concatenate([closed, cum[:, None]], axis=1)
+    g0 = table[src]
+    g1 = table[jnp.minimum(src + 1, max_chain)]
+    c0, c1 = g0[:, 2], g1[:, 2]
     t = jnp.clip((d - c0) / jnp.where(c1 > c0, c1 - c0, 1.0), 0.0, 1.0)
-    p0 = closed[src]
-    p1 = closed[jnp.minimum(src + 1, max_chain)]
+    p0, p1 = g0[:, 0:2], g1[:, 0:2]
     return p0 + t[:, None] * (p1 - p0)
 
 
@@ -446,18 +449,36 @@ def _compact_slice(sg: SortedGeom, slab, lo, z, k: int):
     )
     crossed_c = crossed[order]
     exit_c = exit_slot[order]
-    # intersection points only for the k compacted faces (bit-identical to
-    # computing on the band and gathering — the interpolation is
-    # elementwise per face row); one (9, k) column gather
-    g9 = slab[:, order]
-    start_c, end_c = _segment_points(
-        g9[0:3].T, g9[3:6].T, g9[6:9].T, z, entry_slot[order], exit_c,
+    # intersection points computed BAND-WIDE in the lane-major (3, band)
+    # layout (elementwise — measured nearly free next to gathers), then
+    # only the 4 needed components are gathered at the k compacted faces.
+    # This replaces the former (9, k) slab column gather (lane-dim gathers
+    # at ~100 M elem/s dominated prep) with four (k,) gathers — same
+    # per-element arithmetic as gather-then-compute, so bit-identical.
+    d_next = jnp.roll(d, -1, axis=0)
+    denom = d - d_next
+    denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    t = d / denom
+    fx, fy = slab[0:3], slab[3:6]
+    px = fx + t * (jnp.roll(fx, -1, axis=0) - fx)     # (3, band)
+    py = fy + t * (jnp.roll(fy, -1, axis=0) - fy)
+
+    def sel(arr3, slot):
+        return jnp.where(
+            slot == 0, arr3[0], jnp.where(slot == 1, arr3[1], arr3[2])
+        )
+
+    start_c = jnp.stack(
+        [sel(px, entry_slot)[order], sel(py, entry_slot)[order]], axis=1
+    )
+    end_c = jnp.stack(
+        [sel(px, exit_slot)[order], sel(py, exit_slot)[order]], axis=1
     )
     rows = jnp.arange(k)
-    # neighbors/original ids straight from the sorted full arrays at the
-    # k compacted faces (the band never touches them)
-    nbr_rows = sg.neighbors[lo + order]     # (k, 3) sorted-frame ids
-    nbr_exit = nbr_rows[rows, exit_c]
+    # successor id straight from the sorted full array at the k compacted
+    # faces (the band never touches it); only the exit-edge column is ever
+    # used, so gather (k,) elements, not (k, 3) rows
+    nbr_exit = sg.neighbors[lo + order, exit_c]
     succ_w = jnp.where(nbr_exit >= 0, nbr_exit - lo, -1)  # window-local
     in_win = (succ_w >= 0) & (succ_w < band)
     # compact id of the successor: -1 when the neighbor is missing (open
@@ -524,9 +545,12 @@ def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
     # already in walk order, so the loop's span is a (rolled) slice of it
     big = jnp.iinfo(jnp.int32).max
     in_loop = posn < n_best
-    span = jnp.clip(p0 + posn, 0, K - 1)
-    og = jnp.where(in_loop, se[span, 4].astype(jnp.int32), big)
-    off = jnp.argmin(og)
+    # the loop occupies the contiguous walk positions [p0, p0+nb): find the
+    # min-original-id member by masking the walk-order ids directly — no
+    # span gather needed, and argmin position minus p0 is the roll offset
+    in_span = (posn >= p0) & (posn < p0 + n_best)
+    og = jnp.where(in_span, se[:, 4].astype(jnp.int32), big)
+    off = jnp.argmin(og) - p0
     ring = jnp.clip(p0 + (posn + off) % nb, 0, K - 1)
     pts = se[ring, 0:2]
     pts = jnp.where(in_loop[:, None], pts, 0.0)

@@ -220,3 +220,49 @@ def test_utils_extras(tmp_path):
     assert np.allclose(r @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-9)
     assert extras.angle_between([1, 0, 0], [0, 1, 0]) == pytest.approx(90.0)
     assert extras.angle_between([1, 0, 0], [1, 0, 0]) == pytest.approx(0.0)
+
+
+def test_longest_cyclic_run_matches_rolled_oracle():
+    """The gather-free run selection (cummax/cummin run extents) must pick
+    the exact run the original rolled run-id/argmax formulation picked,
+    including cyclic wrap-around runs and ties."""
+    import jax
+    import jax.numpy as jnp
+
+    from shoulder_tpu.models import segment
+
+    def oracle(mask):
+        out = np.zeros_like(mask)
+        for r in range(mask.shape[0]):
+            m = mask[r]
+            n = len(m)
+            first_false = int(np.argmin(m))
+            idx = (np.arange(n) + first_false) % n
+            rr = m[idx]
+            starts = rr & ~np.roll(rr, 1)
+            starts[0] = rr[0]
+            rid = np.where(rr, np.cumsum(starts) - 1, -1)
+            counts = np.zeros(n + 1, np.int32)
+            np.add.at(counts, np.where(rid >= 0, rid, n), 1)
+            keep = rid == int(np.argmax(counts[:n]))
+            row = np.zeros(n, bool)
+            row[idx] = keep
+            out[r] = row & m
+        return out
+
+    rng = np.random.default_rng(0)
+    f = jax.jit(segment._longest_cyclic_run_per_row)
+    cases = [rng.random((32, w)) < p
+             for p in (0.1, 0.4, 0.6, 0.9) for w in (37, 512)]
+    cases.append(np.ones((4, 16), bool))
+    cases.append(np.zeros((4, 16), bool))
+    wrap = rng.random((64, 50)) < 0.5
+    wrap[:, 0] = True
+    wrap[:, -1] = True
+    cases.append(wrap)
+    one_false = np.ones((8, 20), bool)
+    one_false[np.arange(8), rng.integers(0, 20, 8)] = False
+    cases.append(one_false)
+    for c in cases:
+        got = np.asarray(f(jnp.asarray(c)))
+        assert (got == oracle(c)).all()
