@@ -8,6 +8,7 @@ triangles is a trivially dense VPU workload; no spatial index needed
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-7
@@ -22,6 +23,27 @@ def first_hit(verts, faces, origin, direction, face_valid=None):
     v0 = verts[faces[:, 0]]
     e1 = verts[faces[:, 1]] - v0
     e2 = verts[faces[:, 2]] - v0
+    return _first_hit_tris(v0, e1, e2, origin, direction, face_valid)
+
+
+def first_hits(verts, faces, origins, directions, face_valid=None):
+    """`first_hit` for a batch of rays against ONE triangle soup.
+
+    The triangle-vertex gather (3 x F rows — the expensive part on TPU;
+    the per-ray math is dense VPU work) happens once, not once per ray.
+    Returns (points (R,3), ts (R,), hits (R,)).
+    """
+    v0 = verts[faces[:, 0]]
+    e1 = verts[faces[:, 1]] - v0
+    e2 = verts[faces[:, 2]] - v0
+
+    def one(o, d):
+        return _first_hit_tris(v0, e1, e2, o, d, face_valid)
+
+    return jax.vmap(one)(jnp.asarray(origins), jnp.asarray(directions))
+
+
+def _first_hit_tris(v0, e1, e2, origin, direction, face_valid=None):
     d = jnp.asarray(direction)
     o = jnp.asarray(origin)
 

@@ -426,3 +426,63 @@ def rbf_changepoint_1bkp(signal, valid=None, min_size: int = 2):
     ok = (ts >= min_size) & (ts <= n - min_size)
     cost = jnp.where(ok, cost, jnp.inf)
     return jnp.argmin(cost)
+
+
+def interp_ascending(x, xp, fp):
+    """`jnp.interp(x, xp, fp)` for ASCENDING query points `x`.
+
+    Value-identical to jnp.interp (same interval selection — searchsorted
+    side='right' semantics — and the same guarded interpolation formula),
+    but the binary search is replaced by a scatter-max + cummax rank: each
+    source knot computes its first covering query from the uniform-grid
+    inverse (queries from jnp.linspace are uniform to ~1 ulp; a +-1
+    comparison step against the true query values makes the bucket exact),
+    so the per-sample log2(n) serialized gather rounds — measured as the
+    whole cost of the polar-image build — become one scatter and two row
+    gathers.  Requires `xp` sorted ascending (jnp.interp's own contract)
+    and `x` ascending (any monotone grid works; uniform just makes the
+    initial estimate tight).
+    """
+    x = jnp.asarray(x)
+    xp = jnp.asarray(xp)
+    fp = jnp.asarray(fp)
+    m = x.shape[0]
+    n = xp.shape[0]
+
+    x0 = x[0]
+    dt = (x[m - 1] - x0) / jnp.maximum(m - 1, 1)
+    uniform = dt > 0.0
+
+    # smallest j with x[j] >= xp[k], estimated from the uniform inverse
+    # then corrected against the true grid values (two gathers)
+    est = jnp.ceil((xp - x0) / jnp.where(uniform, dt, 1.0))
+    est = jnp.clip(est, 0.0, float(m)).astype(jnp.int32)
+    est = jnp.where(uniform, est, jnp.where(xp <= x0, 0, m))
+    x_pad = jnp.concatenate([x, jnp.full(1, jnp.inf, x.dtype)])
+    lo_ok = (est >= 1) & (x_pad[jnp.clip(est - 1, 0, m)] >= xp)
+    hi_bad = x_pad[jnp.clip(est, 0, m)] < xp
+    b = jnp.where(lo_ok, est - 1, jnp.where(hi_bad, est + 1, est))
+
+    # rank_j = max k with xp[k] <= x[j]  ->  searchsorted-right = rank+1
+    rank = (
+        jnp.full(m, -1, jnp.int32)
+        .at[b]                     # b >= m (xp beyond every query): dropped
+        .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    )
+    rank = jax.lax.cummax(rank)
+    i = jnp.clip(rank + 1, 1, n - 1)
+
+    table = jnp.stack([xp, fp], axis=1)
+    g1 = table[i]
+    g0 = table[i - 1]
+    df = g1[:, 1] - g0[:, 1]
+    dx = g1[:, 0] - g0[:, 0]
+    delta = x - g0[:, 0]
+    epsilon = np.spacing(np.finfo(np.float32).eps)
+    dx0 = jnp.abs(dx) <= epsilon
+    f = jnp.where(
+        dx0, g0[:, 1], g0[:, 1] + (delta / jnp.where(dx0, 1.0, dx)) * df
+    )
+    f = jnp.where(x < xp[0], fp[0], f)
+    f = jnp.where(x > xp[n - 1], fp[n - 1], f)
+    return f

@@ -95,6 +95,10 @@ class SortedGeom(NamedTuple):
     """
 
     fv9: jnp.ndarray          # (9, F) sorted; see layout note above
+    fvt: jnp.ndarray          # (F, 9) face-major copy: row gathers at the
+    #                           compacted faces ride the fast (sublane)
+    #                           gather direction — one (k, 9) fetch brings
+    #                           a face's whole geometry
     neighbors: jnp.ndarray    # (F, 3) sorted-frame neighbor ids, -1 none
     z_min: jnp.ndarray        # (F,) sorted
     cummax_z_max: jnp.ndarray  # (F,) running max of z_max in sorted order
@@ -122,7 +126,7 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
     )
     zmn = z_min[order]
     cmx = jax.lax.cummax(z_max[order])
-    return SortedGeom(fv9, nbr, zmn, cmx, order)
+    return SortedGeom(fv9, fv9.T, nbr, zmn, cmx, order)
 
 
 def _window(sg: SortedGeom, z, band: int):
@@ -142,6 +146,22 @@ def _window(sg: SortedGeom, z, band: int):
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
     return slab, lo, overflow
+
+
+def _window_z(sg: SortedGeom, z, band: int):
+    """`_window` but cutting only the three z rows of the slab.
+
+    The walk path's whole-band work is the crossing sign pattern — pure
+    z math — and every x/y value it ever needs lives at the k compacted
+    faces (fetched from `sg.fvt` as one row gather).  Copying 3 rows
+    instead of 9 cuts the dominant per-slice memcpy 3x.
+    """
+    start = jnp.searchsorted(sg.z_min, z)
+    lo = jnp.clip(start - band, 0, sg.z_min.shape[0] - band)
+    zslab = jax.lax.dynamic_slice_in_dim(sg.fv9[6:9], lo, band, axis=1)
+    below = jnp.maximum(lo - 1, 0)
+    overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
+    return zslab, lo, overflow
 
 
 def _crossing_topology(geom: FaceGeom, z):
@@ -367,7 +387,7 @@ def _slice_one(sg: SortedGeom, slab, lo, z, interp_num: int,
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
         (crossed, start, end, succ, orig_id, over_compact,
-         open_any) = _compact_slice(sg, slab, lo, z, compact)
+         open_any) = _compact_slice(sg, slab[6:9], lo, z, compact)
         F = compact
     else:
         nbr = sg.neighbors[lo + jnp.arange(F)]
@@ -402,7 +422,7 @@ def _slice_one(sg: SortedGeom, slab, lo, z, interp_num: int,
             over_compact, open_any)
 
 
-def _compact_slice(sg: SortedGeom, slab, lo, z, k: int):
+def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
     """Crossing segments compacted to the first k slots (crossed first).
 
     The partition is computed with cumsums + one scatter (crossed faces to
@@ -412,24 +432,23 @@ def _compact_slice(sg: SortedGeom, slab, lo, z, k: int):
     under batching (a batched bool argsort(stable=True) tie-orders
     differently from the unbatched one on TPU).
 
-    Everything data-dependent (intersection points, neighbor lookup,
-    successor resolution, injectivity, open-edge detection) runs on the
-    (k,) compacted set, not the band: the only whole-band work is the
-    sign pattern + crossing slots — pure elementwise math on the (3,
-    band) lane-major slab rows — so the band can stay generously large
-    without gather cost.
+    Everything data-dependent runs on the (k,) compacted set, not the
+    band: the only whole-band work is the crossing sign pattern — pure
+    elementwise math on the (3, band) lane-major z rows (`_window_z`), so
+    the band can stay generously large without gather or memcpy cost.
+    The k faces' full geometry arrives as ONE (k, 9) row gather from the
+    face-major `sg.fvt` (sublane-dim row fetches — the fast gather
+    direction); crossing slots and intersection points are then
+    re-derived per compacted face with the same arithmetic as the band
+    formulation, so the results are bit-identical.
     """
-    band = slab.shape[1]
-    d = slab[6:9] - z                       # (3, band), band on lanes
+    band = zslab.shape[1]
+    d = zslab - z                           # (3, band), band on lanes
     d = jnp.where(d == 0.0, 1e-7, d)
     pos = d > 0.0
     pos_next = jnp.roll(pos, -1, axis=0)
     cross_edge = pos != pos_next
     crossed = jnp.sum(cross_edge, axis=0) == 2
-    # see _crossing_topology: entry/exit edges are combinatorial in the
-    # sign pattern (fp-robust orientation)
-    entry_slot = jnp.argmax(pos & ~pos_next, axis=0)
-    exit_slot = jnp.argmax(~pos & pos_next, axis=0)
 
     csum_c = jnp.cumsum(crossed.astype(jnp.int32))
     ncross = csum_c[-1]
@@ -447,34 +466,30 @@ def _compact_slice(sg: SortedGeom, slab, lo, z, k: int):
     inv = jnp.full(band, -1, jnp.int32).at[order].set(
         jnp.arange(k, dtype=jnp.int32)
     )
-    crossed_c = crossed[order]
-    exit_c = exit_slot[order]
-    # intersection points computed BAND-WIDE in the lane-major (3, band)
-    # layout (elementwise — measured nearly free next to gathers), then
-    # only the 4 needed components are gathered at the k compacted faces.
-    # This replaces the former (9, k) slab column gather (lane-dim gathers
-    # at ~100 M elem/s dominated prep) with four (k,) gathers — same
-    # per-element arithmetic as gather-then-compute, so bit-identical.
-    d_next = jnp.roll(d, -1, axis=0)
-    denom = d - d_next
-    denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
-    t = d / denom
-    fx, fy = slab[0:3], slab[3:6]
-    px = fx + t * (jnp.roll(fx, -1, axis=0) - fx)     # (3, band)
-    py = fy + t * (jnp.roll(fy, -1, axis=0) - fy)
-
-    def sel(arr3, slot):
-        return jnp.where(
-            slot == 0, arr3[0], jnp.where(slot == 1, arr3[1], arr3[2])
-        )
-
-    start_c = jnp.stack(
-        [sel(px, entry_slot)[order], sel(py, entry_slot)[order]], axis=1
-    )
-    end_c = jnp.stack(
-        [sel(px, exit_slot)[order], sel(py, exit_slot)[order]], axis=1
-    )
     rows = jnp.arange(k)
+    # one row gather brings each compacted face's whole geometry
+    g = sg.fvt[lo + order]                  # (k, 9)
+    gx, gy, gz = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+    # crossing pattern + entry/exit slots re-derived from the gathered z
+    # rows (identical inputs -> identical combinatorics; see
+    # _crossing_topology for why orientation is combinatorial)
+    d_k = gz - z
+    d_k = jnp.where(d_k == 0.0, 1e-7, d_k)
+    pos_k = d_k > 0.0
+    posn_k = jnp.roll(pos_k, -1, axis=1)
+    crossed_c = jnp.sum(pos_k != posn_k, axis=1) == 2
+    entry_c = jnp.argmax(pos_k & ~posn_k, axis=1)
+    exit_c = jnp.argmax(~pos_k & posn_k, axis=1)
+    # intersection points (same per-edge interpolation as the band
+    # formulation — elementwise in the face row, so bit-identical)
+    dn_k = jnp.roll(d_k, -1, axis=1)
+    denom = d_k - dn_k
+    denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    t = d_k / denom
+    px = gx + t * (jnp.roll(gx, -1, axis=1) - gx)     # (k, 3)
+    py = gy + t * (jnp.roll(gy, -1, axis=1) - gy)
+    start_c = jnp.stack([px[rows, entry_c], py[rows, entry_c]], axis=1)
+    end_c = jnp.stack([px[rows, exit_c], py[rows, exit_c]], axis=1)
     # successor id straight from the sorted full array at the k compacted
     # faces (the band never touches it); only the exit-edge column is ever
     # used, so gather (k,) elements, not (k, 3) rows
@@ -525,17 +540,28 @@ def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
     )[f]                                     # (K, 5), walk order
     sx, sy, ex, ey = se[:, 0], se[:, 1], se[:, 2], se[:, 3]
     cr2 = jnp.where(valid, sx * ey - ex * sy, 0.0)
-    moments = jnp.stack(
-        [cr2, (sx + ex) * cr2, (sy + ey) * cr2], axis=1
+    # ONE (K+1, 5) scatter-add covers moments, member count, and first
+    # walk position: each loop is a contiguous run in walk order (the
+    # walk emits loops back to back — the roll logic below relies on it),
+    # so its first position is the unique run-start contribution and a
+    # plain add recovers it exactly (positions < 1024 are exact in f32).
+    is_start = valid & (posn == 0) | (lid != jnp.roll(lid, 1)) & valid
+    contrib = jnp.stack(
+        [
+            cr2,
+            (sx + ex) * cr2,
+            (sy + ey) * cr2,
+            valid.astype(cr2.dtype),
+            jnp.where(is_start, posn, 0).astype(cr2.dtype),
+        ],
+        axis=1,
     )
-    acc = jnp.zeros((K + 1, 3)).at[lid].add(moments)
+    acc = jnp.zeros((K + 1, 5), cr2.dtype).at[lid].add(contrib)
     area = 0.5 * acc[:, 0]
     denom = jnp.where(jnp.abs(area) > 1e-12, 6.0 * area, 1.0)
     centroid = acc[:, 1:3] / denom[:, None]
-    count = jnp.zeros(K + 1, jnp.int32).at[lid].add(valid.astype(jnp.int32))
-    first_pos = jnp.full(K + 1, K, jnp.int32).at[lid].min(
-        posn.astype(jnp.int32)
-    )
+    count = acc[:, 3].astype(jnp.int32)
+    first_pos = acc[:, 4].astype(jnp.int32)
 
     best = jnp.argmax(area[:K])
     n_best = count[best]
@@ -593,9 +619,9 @@ def slice_stack(
         k = min(512, band)
 
         def prep(z):
-            slab, lo, overflow = _window(sg, z, band)
+            zslab, lo, overflow = _window_z(sg, z, band)
             crossed, start, end, succ, orig_c, over, open_e = _compact_slice(
-                sg, slab, lo, z, k
+                sg, zslab, lo, z, k
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
@@ -692,9 +718,9 @@ def slice_raw_banded(
     """
     band = min(band, sg.z_min.shape[0])
     k = min(k, band)
-    slab, lo, overflow = _window(sg, z, band)
+    zslab, lo, overflow = _window_z(sg, z, band)
     crossed, start, end, succ, orig_c, over, _open = _compact_slice(
-        sg, slab, lo, z, k
+        sg, zslab, lo, z, k
     )
     lab = _label_loops(crossed, succ)
     area, centroid, count, mean_pt = _loop_stats(crossed, start, end, lab, k)

@@ -344,9 +344,11 @@ def _anp_image_points(prox: slicing.SliceStack, bg_theta,
     def polar_row(contour):
         th, r = _to_polar_start(contour, zero)  # uncentered (itr_start)
         # even-theta resample from th[0] to th[-2] over th[:-1]
-        # (anatomic_neck.py:43-44)
+        # (anatomic_neck.py:43-44).  interp_ascending is jnp.interp minus
+        # the per-sample binary search (which alone was ~345 ms/batch-8 —
+        # the whole polar-image hot spot)
         t_samp = jnp.linspace(th[0], th[-2], interp)
-        r_i = jnp.interp(t_samp, th[:-1], r[:-1])
+        r_i = sig.interp_ascending(t_samp, th[:-1], r[:-1])
         # roll so the groove angle leads (anatomic_neck.py:48-49)
         shift = jnp.argmin(jnp.abs(t_samp - bg_theta))
         return jnp.roll(t_samp, -shift), jnp.roll(r_i, -shift)
@@ -440,17 +442,18 @@ def _anp_from_mask(mask, pts, bone: BoneTensors, sph_resid,
         center3, p_n, geom.inv_transform(bone.obb_transform)
     )
 
-    # axis rays against the OBB-frame mesh (anatomic_neck.py:174-236)
+    # axis rays against the OBB-frame mesh (anatomic_neck.py:174-236);
+    # all four rays share one triangle-vertex gather
     verts_obb = geom.transform_pts(bone.verts, bone.obb_transform)
-    up, _, _ = rays.first_hit(verts_obb, bone.faces, center3, p_n)
-    dn, _, _ = rays.first_hit(verts_obb, bone.faces, center3, -p_n)
-    axis_normal_ct = _to_ct(jnp.stack([up, dn]), bone.obb_transform)
-
     nc = p_n.at[2].set(0.0)
     nc = nc / jnp.linalg.norm(nc)
-    up_c, _, _ = rays.first_hit(verts_obb, bone.faces, center3, nc)
-    dn_c, _, _ = rays.first_hit(verts_obb, bone.faces, center3, -nc)
-    axis_central_ct = _to_ct(jnp.stack([up_c, dn_c]), bone.obb_transform)
+    hits, _, _ = rays.first_hits(
+        verts_obb, bone.faces,
+        jnp.broadcast_to(center3, (4, 3)),
+        jnp.stack([p_n, -p_n, nc, -nc]),
+    )
+    axis_normal_ct = _to_ct(hits[0:2], bone.obb_transform)
+    axis_central_ct = _to_ct(hits[2:4], bone.obb_transform)
 
     # radius of curvature: sphere fit over all articular points
     # (bone_props.py:118-148)

@@ -110,3 +110,46 @@ def test_rbf_changepoint_padded_equals_unpadded():
     t1 = int(sig.rbf_changepoint_1bkp(xp, valid=mask))
     assert t0 == t1
     assert 20 <= t0 <= 40
+
+
+def test_interp_ascending_matches_jnp_interp():
+    """interp_ascending must reproduce jnp.interp exactly on linspace
+    queries over sorted knots — including duplicate knots, out-of-range
+    queries on both sides, and a degenerate constant query grid.
+
+    Both sides run under jit: jnp.interp itself is jitted, and XLA's
+    FMA fusion of `a + (b/c)*d` differs 1 ulp between eager and compiled
+    execution — the pipeline always runs compiled, so compiled parity is
+    the contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from shoulder_tpu.ops import signal as sig
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(4, 600))
+        xp = np.sort(rng.normal(size=n)).astype(np.float32)
+        if trial % 3 == 0:  # inject duplicate knots
+            k = int(rng.integers(1, n - 1))
+            xp[k] = xp[k - 1]
+            xp = np.sort(xp)
+        fp = rng.normal(size=n).astype(np.float32)
+        lo = xp[0] - 0.3 * rng.random()
+        hi = xp[-1] + 0.3 * rng.random()
+        m = int(rng.integers(4, 700))
+        x = jnp.linspace(np.float32(lo), np.float32(hi), m)
+        want = np.asarray(jax.jit(jnp.interp)(x, jnp.asarray(xp), fp))
+        got = np.asarray(
+            jax.jit(sig.interp_ascending)(x, jnp.asarray(xp), fp)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+    # degenerate: constant query grid + constant knots (empty contour rows)
+    xp = np.full(16, 1.25, np.float32)
+    fp = np.arange(16, dtype=np.float32)
+    x = jnp.linspace(1.25, 1.25, 8)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(sig.interp_ascending)(x, jnp.asarray(xp), fp)),
+        np.asarray(jax.jit(jnp.interp)(x, jnp.asarray(xp), fp)),
+    )

@@ -66,9 +66,9 @@ def main():
 
     def prep_all(sg, zs):
         def prep(z):
-            slab, lo, overflow = slicing._window(sg, z, band)
+            zslab, lo, overflow = slicing._window_z(sg, z, band)
             crossed, start, end, succ, orig_c, over, open_e = (
-                slicing._compact_slice(sg, slab, lo, z, k)
+                slicing._compact_slice(sg, zslab, lo, z, k)
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
