@@ -164,6 +164,20 @@ def _window_z(sg: SortedGeom, z, band: int):
     return zslab, lo, overflow
 
 
+def _window_starts(sg: SortedGeom, zs, band: int):
+    """Batched `_window` offsets + overflow flags for a whole plane stack.
+
+    One vectorized searchsorted over all S planes replaces the log2(F)
+    scalar binary search each slice would otherwise re-run inside the
+    per-slice map — same values, S-fold fewer serialized gather rounds.
+    """
+    starts = jnp.searchsorted(sg.z_min, zs)
+    lo = jnp.clip(starts - band, 0, sg.z_min.shape[0] - band)
+    below = jnp.maximum(lo - 1, 0)
+    overflow = (lo > 0) & (sg.cummax_z_max[below] >= zs)
+    return lo, overflow
+
+
 def _crossing_topology(geom: FaceGeom, z):
     """Combinatorial crossing structure of every face with plane z —
     no intersection points computed (those are deferred to the compacted
@@ -463,9 +477,9 @@ def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
         .at[dest]
         .set(jnp.arange(band, dtype=jnp.int32), mode="drop")
     )
-    inv = jnp.full(band, -1, jnp.int32).at[order].set(
-        jnp.arange(k, dtype=jnp.int32)
-    )
+    # the partition is a bijection band -> [0, band), so `dest` IS the
+    # band-index -> compact-slot inverse — no second band-wide scatter
+    inv = jnp.where(dest < k, dest, -1)
     rows = jnp.arange(k)
     # one row gather brings each compacted face's whole geometry
     g = sg.fvt[lo + order]                  # (k, 9)
@@ -613,13 +627,17 @@ def slice_stack(
     if sg is None:
         sg = sorted_geom(verts, faces, neighbors)
 
+    los, win_over = _window_starts(sg, zs, band)
+
     if use_walk:
         from shoulder_tpu.ops import pallas_chain
 
         k = min(512, band)
 
-        def prep(z):
-            zslab, lo, overflow = _window_z(sg, z, band)
+        def prep(zlw):
+            z, lo, overflow = zlw
+            zslab = jax.lax.dynamic_slice_in_dim(sg.fv9[6:9], lo, band,
+                                                 axis=1)
             crossed, start, end, succ, orig_c, over, open_e = _compact_slice(
                 sg, zslab, lo, z, k
             )
@@ -628,7 +646,7 @@ def slice_stack(
                     overflow | over, open_e)
 
         succ, crossed, start, end, orig, overflow, open_edges = jax.lax.map(
-            prep, zs, batch_size=chunk
+            prep, (zs, los, win_over), batch_size=chunk
         )
         interpret = jax.default_backend() != "tpu"
         order, nvis = pallas_chain.chain_walk(
@@ -641,8 +659,9 @@ def slice_stack(
         return SliceStack(contours, centroids, areas, total_areas, zs,
                           overflow, open_edges)
 
-    def one(z):
-        slab, lo, overflow = _window(sg, z, band)
+    def one(zlw):
+        z, lo, overflow = zlw
+        slab = jax.lax.dynamic_slice_in_dim(sg.fv9, lo, band, axis=1)
         c, cen, a, ta, over_c, open_e = _slice_one(
             sg, slab, lo, z, interp_num, max_chain,
             compact=min(512, band),
@@ -650,7 +669,7 @@ def slice_stack(
         return c, cen, a, ta, overflow | over_c, open_e
 
     contours, centroids, areas, total_areas, overflow, open_edges = (
-        jax.lax.map(one, zs, batch_size=chunk)
+        jax.lax.map(one, (zs, los, win_over), batch_size=chunk)
     )
     return SliceStack(contours, centroids, areas, total_areas, zs, overflow,
                       open_edges)
