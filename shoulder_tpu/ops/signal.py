@@ -472,9 +472,15 @@ def interp_ascending(x, xp, fp):
     rank = jax.lax.cummax(rank)
     i = jnp.clip(rank + 1, 1, n - 1)
 
+    # pair table: row j carries knots (j, j+1) so ONE row gather brings
+    # both interpolation endpoints (gather cost scales with rows fetched,
+    # not bytes per row)
     table = jnp.stack([xp, fp], axis=1)
-    g1 = table[i]
-    g0 = table[i - 1]
+    pair = jnp.concatenate(
+        [table, jnp.concatenate([table[1:], table[-1:]], axis=0)], axis=1
+    )
+    g = pair[i - 1]
+    g0, g1 = g[:, 0:2], g[:, 2:4]
     df = g1[:, 1] - g0[:, 1]
     dx = g1[:, 0] - g0[:, 0]
     delta = x - g0[:, 0]

@@ -95,10 +95,14 @@ class SortedGeom(NamedTuple):
     """
 
     fv9: jnp.ndarray          # (9, F) sorted; see layout note above
-    fvt: jnp.ndarray          # (F, 9) face-major copy: row gathers at the
-    #                           compacted faces ride the fast (sublane)
-    #                           gather direction — one (k, 9) fetch brings
-    #                           a face's whole geometry
+    fvt: jnp.ndarray          # (F, 13) face-major table: cols 0-8 the
+    #                           face's coordinates, cols 9-12 int32 bits
+    #                           (orig_id, 3 neighbor ids) stored via
+    #                           bitcast so ONE (k, 13) row gather brings a
+    #                           compacted face's whole geometry AND its
+    #                           ids (row gathers ride the fast sublane
+    #                           direction; cost scales with rows fetched,
+    #                           not bytes per row)
     neighbors: jnp.ndarray    # (F, 3) sorted-frame neighbor ids, -1 none
     z_min: jnp.ndarray        # (F,) sorted
     cummax_z_max: jnp.ndarray  # (F,) running max of z_max in sorted order
@@ -126,7 +130,13 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
     )
     zmn = z_min[order]
     cmx = jax.lax.cummax(z_max[order])
-    return SortedGeom(fv9, fv9.T, nbr, zmn, cmx, order)
+    auxi = jnp.concatenate(
+        [order.astype(jnp.int32)[:, None], nbr.astype(jnp.int32)], axis=1
+    )
+    fvt = jnp.concatenate(
+        [fv9.T, jax.lax.bitcast_convert_type(auxi, fv9.dtype)], axis=1
+    )
+    return SortedGeom(fv9, fvt, nbr, zmn, cmx, order)
 
 
 def _window(sg: SortedGeom, z, band: int):
@@ -374,11 +384,16 @@ def _resample(points, n_valid, interp_num, max_chain):
     src = jax.lax.cummax(src)
 
     d = jnp.arange(interp_num, dtype=cum.dtype) * step
-    # one (x, y, cum) table -> two row gathers instead of four (gather cost
-    # scales with rows fetched, not bytes per row)
+    # one (x, y, cum, x+, y+, cum+) pair table -> ONE row gather brings both
+    # interpolation endpoints (gather cost scales with rows fetched, not
+    # bytes per row; pairing row i with row min(i+1, M-1) is an elementwise
+    # shift, free next to the gather it removes)
     table = jnp.concatenate([closed, cum[:, None]], axis=1)
-    g0 = table[src]
-    g1 = table[jnp.minimum(src + 1, max_chain)]
+    pair = jnp.concatenate(
+        [table, jnp.concatenate([table[1:], table[-1:]], axis=0)], axis=1
+    )
+    g = pair[src]
+    g0, g1 = g[:, 0:3], g[:, 3:6]
     c0, c1 = g0[:, 2], g1[:, 2]
     t = jnp.clip((d - c0) / jnp.where(c1 > c0, c1 - c0, 1.0), 0.0, 1.0)
     p0, p1 = g0[:, 0:2], g1[:, 0:2]
@@ -481,9 +496,11 @@ def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
     # band-index -> compact-slot inverse — no second band-wide scatter
     inv = jnp.where(dest < k, dest, -1)
     rows = jnp.arange(k)
-    # one row gather brings each compacted face's whole geometry
-    g = sg.fvt[lo + order]                  # (k, 9)
+    # one row gather brings each compacted face's whole geometry AND its
+    # original-id/neighbor ids (bitcast int32 columns 9-12 of the table)
+    g = sg.fvt[lo + order]                  # (k, 13)
     gx, gy, gz = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+    gi = jax.lax.bitcast_convert_type(g[:, 9:13], jnp.int32)  # (k, 4)
     # crossing pattern + entry/exit slots re-derived from the gathered z
     # rows (identical inputs -> identical combinatorics; see
     # _crossing_topology for why orientation is combinatorial)
@@ -504,10 +521,9 @@ def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
     py = gy + t * (jnp.roll(gy, -1, axis=1) - gy)
     start_c = jnp.stack([px[rows, entry_c], py[rows, entry_c]], axis=1)
     end_c = jnp.stack([px[rows, exit_c], py[rows, exit_c]], axis=1)
-    # successor id straight from the sorted full array at the k compacted
-    # faces (the band never touches it); only the exit-edge column is ever
-    # used, so gather (k,) elements, not (k, 3) rows
-    nbr_exit = sg.neighbors[lo + order, exit_c]
+    # successor id from the exit-edge column of the already-gathered
+    # neighbor ids (the band never touches neighbors)
+    nbr_exit = gi[rows, 1 + exit_c]
     succ_w = jnp.where(nbr_exit >= 0, nbr_exit - lo, -1)  # window-local
     in_win = (succ_w >= 0) & (succ_w < band)
     # compact id of the successor: -1 when the neighbor is missing (open
@@ -530,7 +546,7 @@ def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
         .min(rows.astype(jnp.int32), mode="drop")
     )
     succ_c = jnp.where(linked & (pred_min[succ_c] != rows), rows, succ_c)
-    return (crossed_c, start_c, end_c, succ_c, sg.orig_id[lo + order], over,
+    return (crossed_c, start_c, end_c, succ_c, gi[:, 0], over,
             jnp.any(open_edge_c & ~over))
 
 

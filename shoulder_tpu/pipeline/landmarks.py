@@ -300,7 +300,10 @@ def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
     ivar = max(ivar, 1)
 
     def local_min(th_row, r_row, r0_row):
-        esti = jnp.searchsorted(th_row, bg_theta, side="left")
+        # searchsorted(side="left") == count of elements < bg_theta: one
+        # dense compare+sum over the row instead of log2(interp)
+        # serialized gather rounds
+        esti = jnp.sum(th_row < bg_theta).astype(jnp.int32)
         esti = jnp.minimum(esti, interp - 1)
         win = (esti - ivar + jnp.arange(2 * ivar)) % interp
         off = jnp.argmin(r0_row[win])
