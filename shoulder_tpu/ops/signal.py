@@ -428,6 +428,39 @@ def rbf_changepoint_1bkp(signal, valid=None, min_size: int = 2):
     return jnp.argmin(cost)
 
 
+def fill_from_scatter(dest, rows, m, init_row):
+    """`out[j] = rows[max{k : dest[k] <= j}]`, `init_row` where that set is
+    empty — the gather-free dual of `rows[cummax(scatter-max(dest, k))]`.
+
+    `dest` must be non-decreasing (ties allowed; entries >= m are dropped).
+    Within a tie group only the LAST k can win (same winner as a
+    scatter-max of k), so winners write to unique slots — one n-row
+    scatter — and a log-depth last-valid scan forward-fills the gaps:
+    dense VPU work in place of an m-row gather.  On TPU gathers are the
+    roofline currency (PERF.md): callers that already hold their lookup
+    table in source order trade the whole m-row fetch for one scan.
+    """
+    n = dest.shape[0]
+    is_win = jnp.concatenate(
+        [dest[1:] > dest[:-1], jnp.ones((1,), bool)]
+    )
+    slot = jnp.where(is_win, dest, m)
+    buf = (
+        jnp.zeros((m, rows.shape[1]), rows.dtype)
+        .at[slot]
+        .set(rows, mode="drop")
+    )
+    wrote = jnp.zeros((m,), bool).at[slot].set(True, mode="drop")
+
+    def comb(a, b):
+        va, ra = a
+        vb, rb = b
+        return va | vb, jnp.where(vb[:, None], rb, ra)
+
+    valid, filled = jax.lax.associative_scan(comb, (wrote, buf))
+    return jnp.where(valid[:, None], filled, init_row[None, :])
+
+
 def interp_ascending(x, xp, fp):
     """`jnp.interp(x, xp, fp)` for ASCENDING query points `x`.
 
@@ -463,23 +496,20 @@ def interp_ascending(x, xp, fp):
     hi_bad = x_pad[jnp.clip(est, 0, m)] < xp
     b = jnp.where(lo_ok, est - 1, jnp.where(hi_bad, est + 1, est))
 
-    # rank_j = max k with xp[k] <= x[j]  ->  searchsorted-right = rank+1
-    rank = (
-        jnp.full(m, -1, jnp.int32)
-        .at[b]                     # b >= m (xp beyond every query): dropped
-        .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    )
-    rank = jax.lax.cummax(rank)
-    i = jnp.clip(rank + 1, 1, n - 1)
-
-    # pair table: row j carries knots (j, j+1) so ONE row gather brings
-    # both interpolation endpoints (gather cost scales with rows fetched,
-    # not bytes per row)
+    # the old rank construction (scatter-max of k at slot b[k], cummax,
+    # then gather pair[clip(rank, 0, n-2)]) selected, at every query j,
+    # the pair row of max{k : b[k] <= j}.  fill_from_scatter computes the
+    # same selection with NO m-row gather: knot k's source row is
+    # (table[min(k, n-2)], table[min(k, n-2)+1]) — contiguous shifts of
+    # the knot table — and b is non-decreasing exactly when the +-1
+    # correction above is exact, the same precondition the rank scatter
+    # already required.  Queries before every knot keep row 0 (rank -1
+    # -> clip to 0), the init row.
     table = jnp.stack([xp, fp], axis=1)
-    pair = jnp.concatenate(
-        [table, jnp.concatenate([table[1:], table[-1:]], axis=0)], axis=1
-    )
-    g = pair[i - 1]
+    left = jnp.concatenate([table[: n - 1], table[n - 2 : n - 1]], axis=0)
+    right = jnp.concatenate([table[1:], table[n - 1 :]], axis=0)
+    src_rows = jnp.concatenate([left, right], axis=1)   # (n, 4)
+    g = fill_from_scatter(b, src_rows, m, src_rows[0])
     g0, g1 = g[:, 0:2], g[:, 2:4]
     df = g1[:, 1] - g0[:, 1]
     dx = g1[:, 0] - g0[:, 0]

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shoulder_tpu.ops import signal
+
 
 class FaceGeom(NamedTuple):
     """Per-bone, z-independent face data precomputed once per mesh.
@@ -376,23 +378,21 @@ def _resample(points, n_valid, interp_num, max_chain):
     step = total / (interp_num - 1)
     step = jnp.where(step > 0, step, 1.0)
     first_sample = jnp.ceil(cum / step).astype(jnp.int32)
-    src = (
-        jnp.zeros(interp_num, jnp.int32)
-        .at[first_sample]
-        .max(idx.astype(jnp.int32), mode="drop")
-    )
-    src = jax.lax.cummax(src)
 
     d = jnp.arange(interp_num, dtype=cum.dtype) * step
-    # one (x, y, cum, x+, y+, cum+) pair table -> ONE row gather brings both
-    # interpolation endpoints (gather cost scales with rows fetched, not
-    # bytes per row; pairing row i with row min(i+1, M-1) is an elementwise
-    # shift, free next to the gather it removes)
+    # (x, y, cum, x+, y+, cum+) pair table, source-knot order.  The old
+    # path scattered knot ids (src = cummax of scatter-max) and gathered
+    # pair[src] — an interp_num-row gather per slice, the roofline
+    # currency.  first_sample is non-decreasing (cum is), so the same
+    # selection is a winner-scatter + forward-fill (fill_from_scatter):
+    # no sample-side gather at all.  Knot 0 always writes slot 0
+    # (cum[0] = 0), so the init row is never reached; pair[0] keeps the
+    # old src = 0 zero-init semantics regardless.
     table = jnp.concatenate([closed, cum[:, None]], axis=1)
     pair = jnp.concatenate(
         [table, jnp.concatenate([table[1:], table[-1:]], axis=0)], axis=1
     )
-    g = pair[src]
+    g = signal.fill_from_scatter(first_sample, pair, interp_num, pair[0])
     g0, g1 = g[:, 0:3], g[:, 3:6]
     c0, c1 = g0[:, 2], g1[:, 2]
     t = jnp.clip((d - c0) / jnp.where(c1 > c0, c1 - c0, 1.0), 0.0, 1.0)
@@ -607,8 +607,21 @@ def _post_walk(order_s, loop_s, n_s, start_s, end_s, orig_s, interp_num: int):
     in_span = (posn >= p0) & (posn < p0 + n_best)
     og = jnp.where(in_span, se[:, 4].astype(jnp.int32), big)
     off = jnp.argmin(og) - p0
-    ring = jnp.clip(p0 + (posn + off) % nb, 0, K - 1)
-    pts = se[ring, 0:2]
+    # the ring ordering p0 + (posn + off) % nb is a ROLL of the contiguous
+    # walk-order span [p0, p0+nb): rows [s0, p0+nb) then [p0, s0).  Cut
+    # both pieces as contiguous dynamic slices of a zero-padded copy and
+    # select elementwise — contiguous copies run at HBM bandwidth and are
+    # free on the roofline, unlike the K-row gather se[ring] they replace.
+    # Positions >= nb read padding/garbage in both formulations and are
+    # masked by in_loop below.
+    m_off = off % nb                 # in [0, nb)
+    s0 = p0 + m_off                  # roll start, in [p0, p0+nb)
+    cut = nb - m_off                 # first piece length, in [1, nb]
+    zpad = jnp.zeros((K, 2), se.dtype)
+    se3 = jnp.concatenate([zpad, se[:, 0:2], zpad], axis=0)
+    piece_a = jax.lax.dynamic_slice(se3, (K + s0, 0), (K, 2))
+    piece_b = jax.lax.dynamic_slice(se3, (K + p0 - cut, 0), (K, 2))
+    pts = jnp.where((posn < cut)[:, None], piece_a, piece_b)
     pts = jnp.where(in_loop[:, None], pts, 0.0)
     contour = _resample(pts, n_best, interp_num, K)
     return contour, centroid[best], area[best], jnp.sum(area[:K])

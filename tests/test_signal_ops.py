@@ -153,3 +153,34 @@ def test_interp_ascending_matches_jnp_interp():
         np.asarray(jax.jit(sig.interp_ascending)(x, jnp.asarray(xp), fp)),
         np.asarray(jax.jit(jnp.interp)(x, jnp.asarray(xp), fp)),
     )
+
+
+def test_fill_from_scatter_matches_gather_formulation():
+    """fill_from_scatter == rows[max{k : dest[k] <= j}] (init row where no
+    such k) on fuzzed non-decreasing dest — tie groups, entries dropped
+    past m, and an unwritten prefix (dest[0] > 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shoulder_tpu.ops import signal as sig
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 40))
+        m = int(rng.integers(1, 60))
+        # non-decreasing destinations with ties, sometimes starting past 0
+        # and sometimes overflowing past m
+        dest = np.sort(rng.integers(0, m + 10, size=n)).astype(np.int32)
+        rows = rng.normal(size=(n, 3)).astype(np.float32)
+        init = rng.normal(size=3).astype(np.float32)
+
+        got = np.asarray(
+            jax.jit(sig.fill_from_scatter, static_argnums=2)(
+                jnp.asarray(dest), jnp.asarray(rows), m, jnp.asarray(init)
+            )
+        )
+        want = np.empty((m, 3), np.float32)
+        for j in range(m):
+            ks = np.nonzero(dest <= j)[0]
+            want[j] = rows[ks.max()] if ks.size else init
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
