@@ -98,15 +98,25 @@ class SortedGeom(NamedTuple):
 
     fv9: jnp.ndarray          # (9, F) sorted; see layout note above
     fvt: jnp.ndarray          # (F, 13) face-major table: cols 0-8 the
-    #                           face's coordinates, cols 9-12 int32 bits
-    #                           (orig_id, 3 neighbor ids) stored via
-    #                           bitcast so ONE (k, 13) row gather brings a
+    #                           face's coordinates, cols 9-12 the ids
+    #                           (orig_id, 3 neighbor ids) as float32
+    #                           VALUES so ONE (k, 13) row gather brings a
     #                           compacted face's whole geometry AND its
     #                           ids (row gathers ride the fast sublane
     #                           direction; cost scales with rows fetched,
-    #                           not bytes per row)
+    #                           not bytes per row).  Ids must be stored as
+    #                           values, NEVER bitcast bit patterns: the
+    #                           TPU float32 data path flushes denormals to
+    #                           zero and canonicalizes NaNs, so any id
+    #                           < 2^23 bitcast into a float is read back
+    #                           as 0 and -1 (0xFFFFFFFF, a NaN) comes back
+    #                           as the default qNaN pattern (measured on
+    #                           v5e: 2048/2048 ids corrupted).  Integer
+    #                           values are exact in float32 up to 2^24,
+    #                           far above any face count here.
     neighbors: jnp.ndarray    # (F, 3) sorted-frame neighbor ids, -1 none
     z_min: jnp.ndarray        # (F,) sorted
+    z_max: jnp.ndarray        # (F,) face z_max per sorted slot
     cummax_z_max: jnp.ndarray  # (F,) running max of z_max in sorted order
     orig_id: jnp.ndarray      # (F,) original face index per sorted slot
 
@@ -135,49 +145,38 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
     auxi = jnp.concatenate(
         [order.astype(jnp.int32)[:, None], nbr.astype(jnp.int32)], axis=1
     )
-    fvt = jnp.concatenate(
-        [fv9.T, jax.lax.bitcast_convert_type(auxi, fv9.dtype)], axis=1
-    )
-    return SortedGeom(fv9, fvt, nbr, zmn, cmx, order)
+    fvt = jnp.concatenate([fv9.T, auxi.astype(fv9.dtype)], axis=1)
+    return SortedGeom(fv9, fvt, nbr, zmn, z_max[order], cmx, order)
 
 
-def _window(sg: SortedGeom, z, band: int):
-    """The (9, band) coordinate slab whose faces contain every crossing of
-    plane z, its start offset, and an overflow flag (true would mean the
-    band is too small).
+def _window_zmax(sg: SortedGeom, z, band: int):
+    """The z_max row of the (band,) face window of plane z, its start
+    offset and insertion point, and an overflow flag (true would mean the
+    band is too small: a face below the window with z_max >= z would be a
+    missed crossing).
 
-    Windows are contiguous slabs of the z-sorted order, so they are cut
-    with ONE dynamic slice: under the per-slice vmap this lowers to one
-    slab-sized gather per slice — a memcpy, not band scattered row
-    fetches.  Measured 2.3x on the 600x512 proximal stack.
+    Windows are contiguous slabs of the z-sorted order cut with ONE
+    dynamic slice.
+
+    The walk path's whole-band work is just the crossing test, and with
+    z_min-sorted windows that test needs ONE value per face (see
+    `_compact_slice`): every x/y/z coordinate it ever needs lives at the
+    k compacted faces (fetched from `sg.fvt` as one row gather).  Copying
+    1 row instead of 9 (or 3) cuts the dominant per-slice window fetch —
+    under the per-slice vmap the dynamic slice lowers to a lane-direction
+    gather whose cost scales with elements fetched.
     """
     start = jnp.searchsorted(sg.z_min, z)
     lo = jnp.clip(start - band, 0, sg.z_min.shape[0] - band)
-    slab = jax.lax.dynamic_slice_in_dim(sg.fv9, lo, band, axis=1)
-    # a face below the window with z_max >= z would be a missed crossing
+    zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
-    return slab, lo, overflow
-
-
-def _window_z(sg: SortedGeom, z, band: int):
-    """`_window` but cutting only the three z rows of the slab.
-
-    The walk path's whole-band work is the crossing sign pattern — pure
-    z math — and every x/y value it ever needs lives at the k compacted
-    faces (fetched from `sg.fvt` as one row gather).  Copying 3 rows
-    instead of 9 cuts the dominant per-slice memcpy 3x.
-    """
-    start = jnp.searchsorted(sg.z_min, z)
-    lo = jnp.clip(start - band, 0, sg.z_min.shape[0] - band)
-    zslab = jax.lax.dynamic_slice_in_dim(sg.fv9[6:9], lo, band, axis=1)
-    below = jnp.maximum(lo - 1, 0)
-    overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
-    return zslab, lo, overflow
+    return zmax_w, lo, start, overflow
 
 
 def _window_starts(sg: SortedGeom, zs, band: int):
-    """Batched `_window` offsets + overflow flags for a whole plane stack.
+    """Batched `_window` offsets, insertion points, + overflow flags for a
+    whole plane stack.
 
     One vectorized searchsorted over all S planes replaces the log2(F)
     scalar binary search each slice would otherwise re-run inside the
@@ -187,7 +186,7 @@ def _window_starts(sg: SortedGeom, zs, band: int):
     lo = jnp.clip(starts - band, 0, sg.z_min.shape[0] - band)
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= zs)
-    return lo, overflow
+    return lo, starts, overflow
 
 
 def _crossing_topology(geom: FaceGeom, z):
@@ -408,17 +407,19 @@ def _geom_from_slab(slab, nbr_local):
     )
 
 
-def _slice_one(sg: SortedGeom, slab, lo, z, interp_num: int,
-               max_chain: int, compact: int = 0):
-    F = slab.shape[1]
+def _slice_one(sg: SortedGeom, lo, start_w, z, interp_num: int,
+               max_chain: int, band: int, compact: int = 0):
+    F = band
     over_compact = jnp.asarray(False)
     if compact and compact < F:
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
+        zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
         (crossed, start, end, succ, orig_id, over_compact,
-         open_any) = _compact_slice(sg, slab[6:9], lo, z, compact)
+         open_any) = _compact_slice(sg, zmax_w, lo, start_w, z, compact)
         F = compact
     else:
+        slab = jax.lax.dynamic_slice_in_dim(sg.fv9, lo, band, axis=1)
         nbr = sg.neighbors[lo + jnp.arange(F)]
         nbr_local = jnp.where(nbr >= 0, nbr - lo, -1)
         crossed, start, end, succ, open_edge = _crossing_segments(
@@ -451,56 +452,59 @@ def _slice_one(sg: SortedGeom, slab, lo, z, interp_num: int,
             over_compact, open_any)
 
 
-def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
+def _compact_slice(sg: SortedGeom, zmax_w, lo, start, z, k: int):
     """Crossing segments compacted to the first k slots (crossed first).
 
-    The partition is computed with cumsums + one scatter (crossed faces to
-    slots [0, ncross) in window order, uncrossed fill after) — exactly the
-    stable partition `argsort((crossed-bit, position))[:k]` would produce,
+    The crossing test is exact interval algebra, not band-wide sign math:
+    a face has exactly 2 crossed edges iff its vertices carry both signs
+    of d = z_vert - z, and under the kernel's d==0 -> +1e-7 convention
+    that is precisely (z_min < z) & (z_max >= z).  Faces are z_min-sorted
+    and the window ends at start = searchsorted(z_min, z, 'left'), so
+    z_min < z is just `window position < start` — the whole band-wide
+    crossing stage reduces to ONE fetched row (z_max) and one compare.
+
+    The partition is computed with a cumsum + one scatter (crossed faces
+    to slots [0, ncross) in window order; slots >= ncross keep their zero
+    init and are masked invalid) — exactly the stable partition
+    `argsort((crossed-bit, position))[:k]` restricted to crossed faces,
     without the per-slice O(F log^2 F) bitonic sort, and deterministic
     under batching (a batched bool argsort(stable=True) tie-orders
     differently from the unbatched one on TPU).
 
     Everything data-dependent runs on the (k,) compacted set, not the
-    band: the only whole-band work is the crossing sign pattern — pure
-    elementwise math on the (3, band) lane-major z rows (`_window_z`), so
-    the band can stay generously large without gather or memcpy cost.
-    The k faces' full geometry arrives as ONE (k, 9) row gather from the
-    face-major `sg.fvt` (sublane-dim row fetches — the fast gather
-    direction); crossing slots and intersection points are then
+    band.  The k faces' full geometry arrives as ONE (k, 13) row gather
+    from the face-major `sg.fvt` (sublane-dim row fetches — the fast
+    gather direction); crossing slots and intersection points are then
     re-derived per compacted face with the same arithmetic as the band
     formulation, so the results are bit-identical.
     """
-    band = zslab.shape[1]
-    d = zslab - z                           # (3, band), band on lanes
-    d = jnp.where(d == 0.0, 1e-7, d)
-    pos = d > 0.0
-    pos_next = jnp.roll(pos, -1, axis=0)
-    cross_edge = pos != pos_next
-    crossed = jnp.sum(cross_edge, axis=0) == 2
+    band = zmax_w.shape[0]
+    pos_idx = lo + jnp.arange(band, dtype=jnp.int32)
+    crossed = (zmax_w >= z) & (pos_idx < start)
 
     csum_c = jnp.cumsum(crossed.astype(jnp.int32))
     ncross = csum_c[-1]
     over = ncross > k
-    dest = jnp.where(
-        crossed,
-        csum_c - 1,
-        ncross + jnp.cumsum((~crossed).astype(jnp.int32)) - 1,
-    )
+    dest = jnp.where(crossed, csum_c - 1, k)
     order = (
         jnp.zeros(k, jnp.int32)
         .at[dest]
         .set(jnp.arange(band, dtype=jnp.int32), mode="drop")
     )
-    # the partition is a bijection band -> [0, band), so `dest` IS the
-    # band-index -> compact-slot inverse — no second band-wide scatter
-    inv = jnp.where(dest < k, dest, -1)
+    # compact slots beyond ncross hold the zero-init (window face 0,
+    # possibly a duplicate of a crossed face) — `valid_c` masks them out
+    # of every data-dependent read below
+    valid_c = jnp.arange(k, dtype=jnp.int32) < ncross
+    # band-index -> compact-slot inverse, crossed faces only (`dest` is
+    # injective on them); uncrossed or compacted-out faces map to -1
+    inv = jnp.where(crossed & (dest < k), dest, -1)
     rows = jnp.arange(k)
     # one row gather brings each compacted face's whole geometry AND its
-    # original-id/neighbor ids (bitcast int32 columns 9-12 of the table)
+    # original-id/neighbor ids (float32-VALUE columns 9-12 of the table;
+    # see the fvt layout note for why bitcast bit patterns are forbidden)
     g = sg.fvt[lo + order]                  # (k, 13)
     gx, gy, gz = g[:, 0:3], g[:, 3:6], g[:, 6:9]
-    gi = jax.lax.bitcast_convert_type(g[:, 9:13], jnp.int32)  # (k, 4)
+    gi = g[:, 9:13].astype(jnp.int32)       # (k, 4) exact: |id| < 2^24
     # crossing pattern + entry/exit slots re-derived from the gathered z
     # rows (identical inputs -> identical combinatorics; see
     # _crossing_topology for why orientation is combinatorial)
@@ -508,7 +512,10 @@ def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
     d_k = jnp.where(d_k == 0.0, 1e-7, d_k)
     pos_k = d_k > 0.0
     posn_k = jnp.roll(pos_k, -1, axis=1)
-    crossed_c = jnp.sum(pos_k != posn_k, axis=1) == 2
+    # every valid slot holds a crossed face by construction; the sign
+    # pattern is still needed for the entry/exit slots, and the extra
+    # check is free.  valid_c masks the zero-init duplicate slots.
+    crossed_c = (jnp.sum(pos_k != posn_k, axis=1) == 2) & valid_c
     entry_c = jnp.argmax(pos_k & ~posn_k, axis=1)
     exit_c = jnp.argmax(~pos_k & posn_k, axis=1)
     # intersection points (same per-edge interpolation as the band
@@ -519,11 +526,24 @@ def _compact_slice(sg: SortedGeom, zslab, lo, z, k: int):
     t = d_k / denom
     px = gx + t * (jnp.roll(gx, -1, axis=1) - gx)     # (k, 3)
     py = gy + t * (jnp.roll(gy, -1, axis=1) - gy)
-    start_c = jnp.stack([px[rows, entry_c], py[rows, entry_c]], axis=1)
-    end_c = jnp.stack([px[rows, exit_c], py[rows, exit_c]], axis=1)
+    # slot selection as one-hot masked sums, not per-row gathers: a
+    # px[rows, entry_c] gather costs one scattered row fetch per face
+    # (these four picks were the largest single cost of the prep stage in
+    # the device trace), while select+reduce over the 3-wide slot axis is
+    # pure elementwise work.  Exact: the two masked-out addends are 0.0.
+    e_hot = entry_c[:, None] == jnp.arange(3)[None, :]   # (k, 3)
+    x_hot = exit_c[:, None] == jnp.arange(3)[None, :]
+    start_c = jnp.stack([
+        jnp.sum(jnp.where(e_hot, px, 0.0), axis=1),
+        jnp.sum(jnp.where(e_hot, py, 0.0), axis=1),
+    ], axis=1)
+    end_c = jnp.stack([
+        jnp.sum(jnp.where(x_hot, px, 0.0), axis=1),
+        jnp.sum(jnp.where(x_hot, py, 0.0), axis=1),
+    ], axis=1)
     # successor id from the exit-edge column of the already-gathered
-    # neighbor ids (the band never touches neighbors)
-    nbr_exit = gi[rows, 1 + exit_c]
+    # neighbor ids (the band never touches neighbors), same one-hot trick
+    nbr_exit = jnp.sum(jnp.where(x_hot, gi[:, 1:4], 0), axis=1)
     succ_w = jnp.where(nbr_exit >= 0, nbr_exit - lo, -1)  # window-local
     in_win = (succ_w >= 0) & (succ_w < band)
     # compact id of the successor: -1 when the neighbor is missing (open
@@ -656,7 +676,7 @@ def slice_stack(
     if sg is None:
         sg = sorted_geom(verts, faces, neighbors)
 
-    los, win_over = _window_starts(sg, zs, band)
+    los, starts, win_over = _window_starts(sg, zs, band)
 
     if use_walk:
         from shoulder_tpu.ops import pallas_chain
@@ -664,18 +684,17 @@ def slice_stack(
         k = min(512, band)
 
         def prep(zlw):
-            z, lo, overflow = zlw
-            zslab = jax.lax.dynamic_slice_in_dim(sg.fv9[6:9], lo, band,
-                                                 axis=1)
+            z, lo, start_w, overflow = zlw
+            zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
             crossed, start, end, succ, orig_c, over, open_e = _compact_slice(
-                sg, zslab, lo, z, k
+                sg, zmax_w, lo, start_w, z, k
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
                     overflow | over, open_e)
 
         succ, crossed, start, end, orig, overflow, open_edges = jax.lax.map(
-            prep, (zs, los, win_over), batch_size=chunk
+            prep, (zs, los, starts, win_over), batch_size=chunk
         )
         interpret = jax.default_backend() != "tpu"
         order, nvis = pallas_chain.chain_walk(
@@ -689,16 +708,15 @@ def slice_stack(
                           overflow, open_edges)
 
     def one(zlw):
-        z, lo, overflow = zlw
-        slab = jax.lax.dynamic_slice_in_dim(sg.fv9, lo, band, axis=1)
+        z, lo, start_w, overflow = zlw
         c, cen, a, ta, over_c, open_e = _slice_one(
-            sg, slab, lo, z, interp_num, max_chain,
+            sg, lo, start_w, z, interp_num, max_chain, band,
             compact=min(512, band),
         )
         return c, cen, a, ta, overflow | over_c, open_e
 
     contours, centroids, areas, total_areas, overflow, open_edges = (
-        jax.lax.map(one, (zs, los, win_over), batch_size=chunk)
+        jax.lax.map(one, (zs, los, starts, win_over), batch_size=chunk)
     )
     return SliceStack(contours, centroids, areas, total_areas, zs, overflow,
                       open_edges)
@@ -766,9 +784,9 @@ def slice_raw_banded(
     """
     band = min(band, sg.z_min.shape[0])
     k = min(k, band)
-    zslab, lo, overflow = _window_z(sg, z, band)
+    zmax_w, lo, start_w, overflow = _window_zmax(sg, z, band)
     crossed, start, end, succ, orig_c, over, _open = _compact_slice(
-        sg, zslab, lo, z, k
+        sg, zmax_w, lo, start_w, z, k
     )
     lab = _label_loops(crossed, succ)
     area, centroid, count, mean_pt = _loop_stats(crossed, start, end, lab, k)

@@ -66,9 +66,9 @@ def main():
 
     def prep_all(sg, zs):
         def prep(z):
-            zslab, lo, overflow = slicing._window_z(sg, z, band)
+            zmax_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
             crossed, start, end, succ, orig_c, over, open_e = (
-                slicing._compact_slice(sg, zslab, lo, z, k)
+                slicing._compact_slice(sg, zmax_w, lo, start_w, z, k)
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
@@ -78,18 +78,16 @@ def main():
 
     def window_only(sg, zs):
         def w(z):
-            slab, lo, overflow = slicing._window(sg, z, band)
-            return slab.sum(), lo, overflow
+            zmax_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
+            return zmax_w.sum(), lo, overflow
 
         return jax.lax.map(w, zs, batch_size=chunk)
 
     def cross_only(sg, zs):
         def c(z):
-            slab, lo, overflow = slicing._window(sg, z, band)
-            d = slab[6:9] - z
-            pos = jnp.where(d == 0.0, 1e-7, d) > 0.0
-            pn = jnp.roll(pos, -1, axis=0)
-            crossed = jnp.sum(pos != pn, axis=0) == 2
+            zmax_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
+            pos_idx = lo + jnp.arange(band, dtype=jnp.int32)
+            crossed = (zmax_w >= z) & (pos_idx < start_w)
             return crossed.sum(), lo, overflow
 
         return jax.lax.map(c, zs, batch_size=chunk)
