@@ -19,10 +19,16 @@ contour, vmapped over slices and bones on the VPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# monotone-source row selection implementation (see fill_from_scatter):
+# "gather" measured faster at pipeline shapes on v5e; "scatter" kept for
+# re-measurement via SHOULDER_FILL_IMPL.
+_FILL_IMPL = os.environ.get("SHOULDER_FILL_IMPL", "gather")
 
 _BIG = jnp.inf
 
@@ -430,16 +436,37 @@ def rbf_changepoint_1bkp(signal, valid=None, min_size: int = 2):
 
 def fill_from_scatter(dest, rows, m, init_row):
     """`out[j] = rows[max{k : dest[k] <= j}]`, `init_row` where that set is
-    empty — the gather-free dual of `rows[cummax(scatter-max(dest, k))]`.
+    empty — monotone-source row selection.
 
-    `dest` must be non-decreasing (ties allowed; entries >= m are dropped).
-    Within a tie group only the LAST k can win (same winner as a
-    scatter-max of k), so winners write to unique slots — one n-row
-    scatter — and a log-depth last-valid scan forward-fills the gaps:
-    dense VPU work in place of an m-row gather.  On TPU gathers are the
-    roofline currency (PERF.md): callers that already hold their lookup
-    table in source order trade the whole m-row fetch for one scan.
+    Two value-identical implementations, picked by `_FILL_IMPL`:
+
+    - "gather" (DEFAULT): scatter-max of k at slot dest[k], one cummax,
+      then ONE m-row gather of the (n+1)-row padded table.  Also robust
+      to a locally non-monotone `dest`.
+    - "scatter": winner-scatter + log-depth last-valid associative scan,
+      zero m-row gathers.  Requires `dest` non-decreasing (ties allowed;
+      entries >= m dropped): within a tie group only the LAST k can win,
+      so winners write unique slots.
+
+    The scatter variant looked like a roofline win on paper (it removes
+    the m-row gather, the usual currency) but measured SLOWER on v5e at
+    pipeline shapes: its scan carries the whole (m, C) row payload
+    through log2(m) full-width select rounds (the device trace showed
+    the C=6 resample fill costing 152 ms scatter + ~200 ms scan at
+    batch 8 vs ~270 ms for the whole gather formulation), while the
+    gather variant moves each row ONCE.  Scatter+scan only pays when C
+    is small; both kept for re-measurement (PERF.md round-3 non-lessons).
     """
+    if _FILL_IMPL == "gather":
+        n = dest.shape[0]
+        rank = (
+            jnp.full(m, -1, jnp.int32)
+            .at[dest]
+            .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
+        rank = jax.lax.cummax(rank)
+        padded = jnp.concatenate([init_row[None, :], rows], axis=0)
+        return padded[rank + 1]
     n = dest.shape[0]
     is_win = jnp.concatenate(
         [dest[1:] > dest[:-1], jnp.ones((1,), bool)]
