@@ -229,13 +229,15 @@ def _peaks_core_rq(x, height: float, prominence: float, width: float):
     return ok, prom, widths, wh
 
 
-def _peaks_core_dense(x, height: float, prominence: float, width: float,
-                      cand_cap: int | None = None):
-    """find_peaks core via dense pairwise masks over compacted candidates.
+def _peaks_core_dense_cand(x, height: float, prominence: float, width: float,
+                           cand_cap: int | None = None):
+    """find_peaks core via dense pairwise masks over compacted candidates,
+    returned in CANDIDATE space: (cand, cvalid, ok_c, prom_c, widths_c,
+    wh_c), candidates in ascending position order.
 
     One big fused elementwise program — the fastest formulation on TPU,
     where the VPU eats wide dense ops and the range-query variant's
-    serialized gather rounds lose by ~1.5x at n=512.  Only local maxima
+    serialized gather rounds lose by ~12x at n=512.  Only local maxima
     participate as mask rows: they are compacted to candidate slots
     first, so the masks are (C, n) instead of (n, n).  Strict local
     maxima are never adjacent (and the +inf edge pads exclude the ends),
@@ -298,33 +300,58 @@ def _peaks_core_dense(x, height: float, prominence: float, width: float,
     lcross_mask = (jj >= lbase[:, None]) & (jj <= pp) & (xj <= wh_c[:, None])
     lj = jnp.max(jnp.where(lcross_mask, jj, -1), axis=1)
     lj = jnp.clip(lj, 0, n - 1)
-    ljn = jnp.clip(lj + 1, 0, n - 1)
-    denom_l = x[ljn] - x[lj]
+    # the crossing interpolation needs (x[lj], x[lj+1]) and (x[rj-1],
+    # x[rj]): fetch each side as ONE (c, 2) row gather of a shift-paired
+    # table instead of two flat scalar gathers apiece (same trick as
+    # interp_ascending — these four gathers were most of the core's
+    # remaining cost after the masks)
+    pair_fwd = jnp.stack(
+        [x, jnp.concatenate([x[1:], x[n - 1:]])], axis=1
+    )                                   # row j = (x[j], x[min(j+1, n-1)])
+    gl = pair_fwd[lj]
+    x_lj, x_ljn = gl[:, 0], gl[:, 1]
+    denom_l = x_ljn - x_lj
     frac_l = jnp.where(
-        (x[lj] < wh_c) & (jnp.abs(denom_l) > 0),
-        (wh_c - x[lj]) / jnp.where(denom_l == 0, 1.0, denom_l),
+        (x_lj < wh_c) & (jnp.abs(denom_l) > 0),
+        (wh_c - x_lj) / jnp.where(denom_l == 0, 1.0, denom_l),
         0.0,
     )
-    left_ip = jnp.where(x[lj] < wh_c, lj + frac_l, lj.astype(x.dtype))
+    left_ip = jnp.where(x_lj < wh_c, lj + frac_l, lj.astype(x.dtype))
 
     rcross_mask = (jj <= rbase[:, None]) & (jj >= pp) & (xj <= wh_c[:, None])
     rj = jnp.min(jnp.where(rcross_mask, jj, n), axis=1)
     rj = jnp.clip(rj, 0, n - 1)
-    rjp = jnp.clip(rj - 1, 0, n - 1)
-    denom_r = x[rjp] - x[rj]
+    pair_bwd = jnp.stack(
+        [jnp.concatenate([x[:1], x[: n - 1]]), x], axis=1
+    )                                   # row j = (x[max(j-1, 0)], x[j])
+    gr = pair_bwd[rj]
+    x_rjp, x_rj = gr[:, 0], gr[:, 1]
+    denom_r = x_rjp - x_rj
     frac_r = jnp.where(
-        (x[rj] < wh_c) & (jnp.abs(denom_r) > 0),
-        (wh_c - x[rj]) / jnp.where(denom_r == 0, 1.0, denom_r),
+        (x_rj < wh_c) & (jnp.abs(denom_r) > 0),
+        (wh_c - x_rj) / jnp.where(denom_r == 0, 1.0, denom_r),
         0.0,
     )
-    right_ip = jnp.where(x[rj] < wh_c, rj - frac_r, rj.astype(x.dtype))
+    right_ip = jnp.where(x_rj < wh_c, rj - frac_r, rj.astype(x.dtype))
 
     widths_c = right_ip - left_ip
 
     ok_c = cvalid & (prom_c >= prominence) & (widths_c >= width)
+    return cand, cvalid, ok_c, prom_c, widths_c, wh_c
 
-    # scatter candidate results back to full-length arrays (the packing
-    # step and the rq core both use the (n,) convention)
+
+def _peaks_core_dense(x, height: float, prominence: float, width: float,
+                      cand_cap: int | None = None):
+    """(n,)-space view of the dense core (the rq core's convention) —
+    kept for the scipy-oracle tests and any full-length callers; the hot
+    path (find_peaks, method='dense') packs straight from candidate space
+    and skips these four scatters (measured as most of the core's cost:
+    the masks are VPU-dense, the scatters pay the TPU scatter issue
+    rate)."""
+    n = x.shape[0]
+    cand, cvalid, ok_c, prom_c, widths_c, wh_c = _peaks_core_dense_cand(
+        x, height, prominence, width, cand_cap
+    )
     safe = jnp.where(cvalid, cand, n)
     ok = jnp.zeros(n, bool).at[safe].set(ok_c, mode="drop")
     prom = jnp.zeros(n, x.dtype).at[safe].set(prom_c, mode="drop")
@@ -349,8 +376,38 @@ def find_peaks(x, height: float, prominence: float, width: float,
     x = jnp.asarray(x)
     if method is None:
         method = "dense" if jax.default_backend() == "tpu" else "rq"
-    core = _peaks_core_dense if method == "dense" else _peaks_core_rq
-    ok, prom, widths, wh = core(x, height, prominence, width)
+
+    if method == "dense":
+        # pack straight from candidate space: candidates are in ascending
+        # position order, so a stable argsort on -prominence ties by
+        # position exactly like the (n,)-space pack below — without the
+        # core's four (n,)-wide scatter-backs
+        cand, cvalid, ok_c, prom_c, widths_c, wh_c = _peaks_core_dense_cand(
+            x, height, prominence, width
+        )
+        ok_c = ok_c & cvalid
+        c = cand.shape[0]
+        if c < max_peaks:  # tiny inputs: pad candidate slots to max_peaks
+            pad = max_peaks - c
+            cand = jnp.concatenate([cand, jnp.zeros(pad, cand.dtype)])
+            ok_c = jnp.concatenate([ok_c, jnp.zeros(pad, bool)])
+            zf = jnp.zeros(pad, prom_c.dtype)
+            prom_c = jnp.concatenate([prom_c, zf])
+            widths_c = jnp.concatenate([widths_c, zf])
+            wh_c = jnp.concatenate([wh_c, zf])
+        score = jnp.where(ok_c, prom_c, -_BIG)
+        order = jnp.argsort(-score)[:max_peaks]
+        valid = ok_c[order]
+        return {
+            "idx": jnp.where(valid, cand[order], 0),
+            "prominences": jnp.where(valid, prom_c[order], 0.0),
+            "widths": jnp.where(valid, widths_c[order], 0.0),
+            "width_heights": jnp.where(valid, wh_c[order], 0.0),
+            "valid": valid,
+            "n_peaks": jnp.sum(ok_c),
+        }
+
+    ok, prom, widths, wh = _peaks_core_rq(x, height, prominence, width)
 
     # pack the top max_peaks by prominence
     score = jnp.where(ok, prom, -_BIG)
@@ -519,8 +576,18 @@ def interp_ascending(x, xp, fp):
     est = jnp.clip(est, 0.0, float(m)).astype(jnp.int32)
     est = jnp.where(uniform, est, jnp.where(xp <= x0, 0, m))
     x_pad = jnp.concatenate([x, jnp.full(1, jnp.inf, x.dtype)])
-    lo_ok = (est >= 1) & (x_pad[jnp.clip(est - 1, 0, m)] >= xp)
-    hi_bad = x_pad[jnp.clip(est, 0, m)] < xp
+    # the +-1 correction needs x_pad[est-1] and x_pad[est]: fetch both as
+    # ONE (n, 2) row gather of a shift-paired table instead of two flat
+    # scalar gathers (the device trace had those two as 60 ms/batch-8 —
+    # row gathers of small-width pairs issue ~3x faster per row).  Row j
+    # holds (x_pad[j-1], x_pad[j]); row 0's left slot is never used (the
+    # est >= 1 mask already guards it).
+    pair_x = jnp.stack(
+        [jnp.concatenate([x_pad[:1], x_pad[:m]]), x_pad], axis=1
+    )                                                   # (m+1, 2)
+    g2 = pair_x[est]
+    lo_ok = (est >= 1) & (g2[:, 0] >= xp)
+    hi_bad = g2[:, 1] < xp
     b = jnp.where(lo_ok, est - 1, jnp.where(hi_bad, est + 1, est))
 
     # the old rank construction (scatter-max of k at slot b[k], cummax,
