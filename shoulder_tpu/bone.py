@@ -402,6 +402,7 @@ class ProximalHumerus(Bone):
                 "sphere_resid_mm": float(lm.qc_sphere_resid),
                 "canal_fit_rms_mm": float(lm.qc_canal_fit_rms),
                 "slice_band_overflow": bool(lm.qc_slice_overflow),
+                "peak_capacity_overflow": bool(lm.qc_peak_overflow),
                 "open_edges": bool(lm.qc_open_edges),
             }
             self._lm_cache = d

@@ -146,6 +146,7 @@ def process_cohort(
                     "sphere_resid_mm": float(lm.qc_sphere_resid[i]),
                     "canal_fit_rms_mm": float(lm.qc_canal_fit_rms[i]),
                     "slice_band_overflow": bool(lm.qc_slice_overflow[i]),
+                    "peak_capacity_overflow": bool(lm.qc_peak_overflow[i]),
                     "open_edges": bool(lm.qc_open_edges[i]),
                 },
             }
@@ -187,6 +188,7 @@ def cohort_summary(results: list[dict]) -> dict:
         ),
         "qc_flags": int(
             sum(r["qc"]["slice_band_overflow"] or r["qc"]["open_edges"]
+                or r["qc"]["peak_capacity_overflow"]
                 for r in results)
         ),
     }

@@ -86,6 +86,15 @@ class PipelineConfig:
     groove_rf_threshold: float = 0.4      # bicipital_groove.py:185
     groove_kde_bins: int = 1024           # bicipital_groove.py:186
     groove_kde_bandwidth: float = 1.0     # sklearn KernelDensity default
+    # candidate local-maxima slots per slice in the dense find_peaks core.
+    # The savgol-smoothed radius profile of a humeral cross-section has at
+    # most 10 local maxima on the reference fixtures (measured: max 10,
+    # mean 6 across all groove slices of all three distinct bones); 64
+    # slots bound the dominant (C, n) mask work at 1/4 of the exact
+    # n//2+1 while leaving 6x headroom.  Truncation is impossible below
+    # 65 maxima and is QC-flagged (qc_peak_overflow) if a pathological
+    # input ever exceeds it; None selects the exact cap.
+    groove_cand_cap: int = 64
 
     # --- anatomic neck -----------------------------------------------------
     # articular segmenter: "unet" (default — Flax UNet proposal + sphere-

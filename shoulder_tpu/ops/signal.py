@@ -245,6 +245,13 @@ def _peaks_core_dense_cand(x, height: float, prominence: float, width: float,
     cap is exact, not a truncation, keeping this core's output identical
     to the rq core and scipy on any input while still halving the mask
     work relative to (n, n).
+
+    A caller may pass a smaller ``cand_cap`` when it knows its inputs are
+    smooth (the mask work scales with the cap); maxima beyond the cap are
+    then dropped POSITIONALLY (later positions lose), so the final tuple
+    element is an overflow flag — () bool, true iff the input had more
+    local maxima than slots and the result may therefore be truncated.
+    Callers must surface it (QC flag / fallback), never swallow it.
     """
     n = x.shape[0]
     i = jnp.arange(n)
@@ -263,6 +270,7 @@ def _peaks_core_dense_cand(x, height: float, prominence: float, width: float,
         .set(i.astype(jnp.int32), mode="drop")
     )
     cvalid = jnp.arange(c) < csum[-1]
+    overflow = csum[-1] > c
 
     # pairwise masks (c, n): axis 0 = candidate peak p, axis 1 = position j
     xp = x[cand][:, None]
@@ -337,7 +345,7 @@ def _peaks_core_dense_cand(x, height: float, prominence: float, width: float,
     widths_c = right_ip - left_ip
 
     ok_c = cvalid & (prom_c >= prominence) & (widths_c >= width)
-    return cand, cvalid, ok_c, prom_c, widths_c, wh_c
+    return cand, cvalid, ok_c, prom_c, widths_c, wh_c, overflow
 
 
 def _peaks_core_dense(x, height: float, prominence: float, width: float,
@@ -349,7 +357,7 @@ def _peaks_core_dense(x, height: float, prominence: float, width: float,
     the masks are VPU-dense, the scatters pay the TPU scatter issue
     rate)."""
     n = x.shape[0]
-    cand, cvalid, ok_c, prom_c, widths_c, wh_c = _peaks_core_dense_cand(
+    cand, cvalid, ok_c, prom_c, widths_c, wh_c, _ovf = _peaks_core_dense_cand(
         x, height, prominence, width, cand_cap
     )
     safe = jnp.where(cvalid, cand, n)
@@ -360,18 +368,28 @@ def _peaks_core_dense(x, height: float, prominence: float, width: float,
     return ok, prom, widths, wh
 
 
-@functools.partial(jax.jit, static_argnames=("max_peaks", "method"))
+@functools.partial(
+    jax.jit, static_argnames=("max_peaks", "method", "cand_cap")
+)
 def find_peaks(x, height: float, prominence: float, width: float,
-               max_peaks: int = 16, method: str | None = None):
+               max_peaks: int = 16, method: str | None = None,
+               cand_cap: int | None = None):
     """scipy.signal.find_peaks(height=, prominence=, width=) equivalent.
 
     Returns a dict of fixed-size (max_peaks,) arrays sorted by descending
     prominence, with `valid` marking real peaks:
-      idx, prominences, widths, width_heights, valid, n_peaks.
+      idx, prominences, widths, width_heights, valid, n_peaks, overflow.
 
     Two cores with identical outputs (both scipy-oracle tested): `dense`
     (O(n^2) fused masks, fastest on TPU) and `rq` (O(n log n) sparse-table
     range queries, fastest on CPU).  The default picks by backend.
+
+    `cand_cap` (dense core only) bounds the candidate local-maxima slots;
+    the default ``n // 2 + 1`` is exact on any input.  A smaller cap cuts
+    the dominant (C, n) mask work proportionally but drops maxima beyond
+    the cap positionally — `overflow` (() bool) is true whenever that
+    happened and the result may be truncated; callers passing a cap MUST
+    surface it (the pipeline routes it into a QC flag).
     """
     x = jnp.asarray(x)
     if method is None:
@@ -382,8 +400,8 @@ def find_peaks(x, height: float, prominence: float, width: float,
         # position order, so a stable argsort on -prominence ties by
         # position exactly like the (n,)-space pack below — without the
         # core's four (n,)-wide scatter-backs
-        cand, cvalid, ok_c, prom_c, widths_c, wh_c = _peaks_core_dense_cand(
-            x, height, prominence, width
+        cand, cvalid, ok_c, prom_c, widths_c, wh_c, overflow = (
+            _peaks_core_dense_cand(x, height, prominence, width, cand_cap)
         )
         ok_c = ok_c & cvalid
         c = cand.shape[0]
@@ -405,6 +423,7 @@ def find_peaks(x, height: float, prominence: float, width: float,
             "width_heights": jnp.where(valid, wh_c[order], 0.0),
             "valid": valid,
             "n_peaks": jnp.sum(ok_c),
+            "overflow": overflow,
         }
 
     ok, prom, widths, wh = _peaks_core_rq(x, height, prominence, width)
@@ -420,6 +439,7 @@ def find_peaks(x, height: float, prominence: float, width: float,
         "width_heights": jnp.where(valid, wh[order], 0.0),
         "valid": valid,
         "n_peaks": jnp.sum(ok),
+        "overflow": jnp.zeros((), bool),  # the rq core is always exact
     }
 
 

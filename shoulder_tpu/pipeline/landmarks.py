@@ -79,6 +79,10 @@ class Landmarks(NamedTuple):
     qc_sphere_resid: jnp.ndarray
     qc_canal_fit_rms: jnp.ndarray
     qc_slice_overflow: jnp.ndarray  # () bool: slice band too small
+    qc_peak_overflow: jnp.ndarray  # () bool: a groove slice had more
+    #   local maxima than cfg.groove_cand_cap slots — peak results on
+    #   that slice may be truncated (never fires on anatomic inputs;
+    #   measured max is 10 maxima vs 64 slots)
     qc_open_edges: jnp.ndarray  # () bool: a slicing plane hit an open
     #   mesh boundary (torn / non-watertight input) and a contour chain
     #   dead-ended — downstream contours may be truncated
@@ -212,6 +216,7 @@ def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
         p = sig.find_peaks(
             rolled, cfg.groove_peak_height, cfg.groove_peak_prominence,
             cfg.groove_peak_width, max_peaks=cfg.max_peaks_per_slice,
+            cand_cap=cfg.groove_cand_cap,
         )
         idx = (p["idx"] + rmin) % interp
         valid = p["valid"]
@@ -220,15 +225,16 @@ def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
         return (
             idx[:K], valid[:K] & keep[:K], p["prominences"][:K],
             p["widths"][:K], p["width_heights"][:K],
-            jnp.minimum(p["n_peaks"], K),
+            jnp.minimum(p["n_peaks"], K), p["overflow"],
         )
 
     # chunked map: find_peaks' O(N^2) masks are ~6 MB/slice; bounding the
     # live set keeps batched HBM use flat (batch x chunk x N^2, not
     # batch x S x N^2)
-    idx, valid, prom, widths, whs, n_pk = jax.lax.map(
+    idx, valid, prom, widths, whs, n_pk, pk_overflow = jax.lax.map(
         peaks_one, r0, batch_size=chunk
     )
+    peak_overflow = jnp.any(pk_overflow)   # -> qc_peak_overflow
 
     take = jax.vmap(jnp.take)              # (S,512),(S,K) -> (S,K)
     pk_theta = take(theta, idx)
@@ -326,7 +332,7 @@ def _groove(prox: slicing.SliceStack, bone: BoneTensors, canal_axis_ct,
     bg_points_ct = _to_ct(bg_xyz, bone.obb_transform)
     bg_axis_ct = _to_ct(axis_obb, bone.obb_transform)
     rf_pos_frac = jnp.sum(pos) / jnp.maximum(jnp.sum(row_valid), 1)
-    return bg_points_ct, bg_axis_ct, bg_theta, rf_pos_frac
+    return bg_points_ct, bg_axis_ct, bg_theta, rf_pos_frac, peak_overflow
 
 
 # --------------------------------------------------------------------- F
@@ -598,7 +604,7 @@ def compute_landmarks(
     )
 
     # E: bicipital groove
-    bg_points, bg_axis, bg_theta, rf_pos_frac = _groove(
+    bg_points, bg_axis, bg_theta, rf_pos_frac, peak_overflow = _groove(
         prox, bone, canal_axis, rf, cfg, chunk=min(chunk, 16)
     )
 
@@ -658,5 +664,6 @@ def compute_landmarks(
         qc_sphere_resid=sph_resid,
         qc_canal_fit_rms=canal_rms,
         qc_slice_overflow=overflow,
+        qc_peak_overflow=peak_overflow,
         qc_open_edges=open_edges,
     )

@@ -66,6 +66,34 @@ def test_find_peaks_unsmoothed_noise_matches_scipy(method):
     assert np.allclose(prom, ref_prop["prominences"], atol=1e-4)
 
 
+def test_find_peaks_cand_cap_overflow_flagged():
+    """A below-exact cand_cap must never truncate SILENTLY: the overflow
+    flag fires exactly when the input has more local maxima than slots,
+    and a roomy cap reproduces the exact result with overflow False
+    (the pipeline's groove stage runs cand_cap=64 vs a measured max of
+    10 maxima per anatomic slice and QC-flags any overflow)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=512).astype(np.float32)  # ~n/3 maxima
+    exact = sig.find_peaks(x, height=-10.0, prominence=0.05, width=0.0,
+                           max_peaks=512, method="dense")
+    assert not bool(exact["overflow"])
+    capped = sig.find_peaks(x, height=-10.0, prominence=0.05, width=0.0,
+                            max_peaks=512, method="dense", cand_cap=64)
+    assert bool(capped["overflow"])
+
+    # smooth signal, few maxima (a 9-lobe profile like an anatomic
+    # contour's radius curve): capped == exact, no overflow
+    t = np.linspace(0, 2 * np.pi, 512)
+    y = (np.sin(9 * t) + 0.3 * np.cos(2 * t)).astype(np.float32)
+    a = sig.find_peaks(y, height=-10.0, prominence=0.05, width=0.0,
+                       method="dense")
+    b = sig.find_peaks(y, height=-10.0, prominence=0.05, width=0.0,
+                       method="dense", cand_cap=64)
+    assert not bool(b["overflow"])
+    for k in ("idx", "prominences", "widths", "valid"):
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_find_peaks_respects_filters():
     x = np.zeros(64, np.float32)
     x[10] = 1.0   # prominence 1
