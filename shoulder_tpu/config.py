@@ -27,16 +27,34 @@ class SliceSetConfig:
     fixtures the requirement is <=758 for the proximal stack but up to
     ~1100 in the dense wide distal (elbow) region — hence per-stack
     values.  Overflow is QC-flagged (qc_slice_overflow).
+
+    `group`/`slab`: the plane grid is monotone in z, so windows of
+    adjacent planes overlap almost entirely; `group` planes share ONE
+    contiguous `slab`-wide z_max fetch instead of `group` band-wide ones
+    (the per-plane window fetch is a gather under the slice map — the
+    hottest non-compacted traffic of the stack stages).  Coverage needs
+    slab >= band + (within-group window slide); measured worst-case
+    slides on the reference fixtures: proximal G=8 <=454, full G=4
+    <=1711, distal G=4 <=859 — the defaults carry ~2x margins and
+    a truncated slab is QC-flagged like a band overflow.  group=1
+    reproduces the per-plane formulation exactly.
     """
 
     zslice_num: int
     interp_num: int
     band: int = 1024
+    group: int = 1
+    slab: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     # --- slicing families (reference slice.py:209-276) -------------------
+    # group/slab default to 1/0 (per-plane windows): measured on v5e, the
+    # shared-slab fetch saves less than the slab-wide per-plane crossing
+    # test + compaction cumsum costs (batch-8 stage C 341 -> 348..366 ms
+    # across G=4/8, W=1536/2048) — the window fetch is contiguous and
+    # rides HBM bandwidth, so it was never the bottleneck
     full: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=100,
                                           band=2048)
     # "must not change needed for anp cnn" (reference slice.py:236-237)

@@ -47,16 +47,54 @@ class BoneSpec:
     watertight: bool
     proximal: bool
 
-    # unpadded views for host-side work
+    # unpadded views for host-side work (original STL face order)
     vertices_raw: np.ndarray = None
     faces_raw: np.ndarray = None
     neighbors_raw: np.ndarray = None
+
+    # faces/neighbors above are pre-sorted by OBB-frame face z_min (the
+    # slice kernels' window order — a pure function of ingest-known data,
+    # lifted off the device hot path); face_orig[i] is slot i's original
+    # STL face index, which keeps loop-start selection and therefore every
+    # contour identical to the unsorted formulation
+    face_orig: np.ndarray = None
 
 
 def _pad(arr, n, fill):
     out = np.full((n,) + arr.shape[1:], fill, dtype=arr.dtype)
     out[: arr.shape[0]] = arr
     return out
+
+
+def _presort_faces(verts_p, faces_p, neighbors_p, to_obb):
+    """Reorder padded faces by OBB-frame z_min (lexicographic with the
+    original face index as tie-break — matching the device kernel's
+    lax.sort key).  Neighbor ids are remapped into the sorted frame;
+    face_orig maps each sorted slot back to its original index.
+
+    The z values here are computed in float32 from the float32-padded
+    vertices so the order matches what the device would compute; sub-ulp
+    disagreements near ties are absorbed by the kernel's conservative
+    monotone search key (ops/slicing.SortedGeom.z_key).
+    """
+    t32 = to_obb.astype(np.float32)
+    z_obb = verts_p @ t32[2, :3] + t32[2, 3]
+    z_tri = z_obb[faces_p]
+    z_min = z_tri.min(axis=1)
+    degenerate = (faces_p[:, 0] == faces_p[:, 1]) & (
+        faces_p[:, 1] == faces_p[:, 2]
+    )
+    z_min[degenerate] = np.inf
+    n = faces_p.shape[0]
+    idx = np.arange(n)
+    order = np.lexsort((idx, z_min)).astype(np.int32)
+    inv = np.empty(n, np.int32)
+    inv[order] = np.arange(n, dtype=np.int32)
+    nbr = neighbors_p[order]
+    nbr_s = np.where(nbr >= 0, inv[np.clip(nbr, 0, n - 1)], -1).astype(
+        np.int32
+    )
+    return faces_p[order], nbr_s, order
 
 
 def _section_points(verts, faces, neighbors, z):
@@ -160,11 +198,19 @@ def spec_from_arrays(
             f"({faces.shape[0]} faces / {verts_ct.shape[0]} verts)"
         )
 
+    faces_p = _pad(faces.astype(np.int32), config.max_faces, 0)
+    neighbors_p = _pad(neighbors.astype(np.int32), config.max_faces, -1)
+    verts_p = _pad(verts_ct.astype(np.float32), config.max_verts, 0.0)
+    faces_s, neighbors_s, face_orig = _presort_faces(
+        verts_p, faces_p, neighbors_p, to_obb
+    )
+
     return BoneSpec(
         name=name,
-        vertices=_pad(verts_ct.astype(np.float32), config.max_verts, 0.0),
-        faces=_pad(faces.astype(np.int32), config.max_faces, 0),
-        neighbors=_pad(neighbors.astype(np.int32), config.max_faces, -1),
+        vertices=verts_p,
+        faces=faces_s,
+        neighbors=neighbors_s,
+        face_orig=face_orig,
         n_verts=verts_ct.shape[0],
         n_faces=faces.shape[0],
         obb_transform=to_obb,

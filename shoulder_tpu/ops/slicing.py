@@ -115,13 +115,35 @@ class SortedGeom(NamedTuple):
     #                           values are exact in float32 up to 2^24,
     #                           far above any face count here.
     neighbors: jnp.ndarray    # (F, 3) sorted-frame neighbor ids, -1 none
-    z_min: jnp.ndarray        # (F,) sorted
+    z_min: jnp.ndarray        # (F,) per-slot face z_min (ingest-presorted
+    #                           geometry may carry sub-ulp disorder from
+    #                           host/device f32 transform differences; all
+    #                           window math searches z_key instead)
+    z_key: jnp.ndarray        # (F,) monotone non-decreasing search key
+    #                           with z_key[i] <= z_min[i]: every face with
+    #                           z_min <= z is guaranteed below
+    #                           searchsorted(z_key, z) regardless of that
+    #                           disorder
     z_max: jnp.ndarray        # (F,) face z_max per sorted slot
     cummax_z_max: jnp.ndarray  # (F,) running max of z_max in sorted order
     orig_id: jnp.ndarray      # (F,) original face index per sorted slot
 
 
-def sorted_geom(verts, faces, neighbors) -> SortedGeom:
+def sorted_geom(verts, faces, neighbors, face_orig=None) -> SortedGeom:
+    """Z-sorted face geometry for banded slicing.
+
+    With `face_orig=None` the faces are argsorted on device.  With a
+    `face_orig` (F,) array the faces are declared ALREADY z-ascending in
+    this vertex frame (the ingest layer pre-sorts them on the host — the
+    z-order is a pure function of ingest-known data, so the device-side
+    full-face-set sort plus its reorder gathers are pure waste on the hot
+    path); `face_orig[i]` is slot i's pre-sort face index, which keeps
+    loop-start selection (min original id) and therefore every downstream
+    contour bit-identical to the device-sorted formulation.  Host (f64)
+    and device (f32) transforms can disagree by ulps near z-ties, so the
+    presorted path derives a conservative monotone search key (suffix
+    running min) instead of trusting exact sortedness — see z_key.
+    """
     g = face_geom(verts, faces, neighbors)
     z_min = jnp.min(g.fvz, axis=1)
     z_max = jnp.max(g.fvz, axis=1)
@@ -129,6 +151,23 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
     degenerate = (faces[:, 0] == faces[:, 1]) & (faces[:, 1] == faces[:, 2])
     z_min = jnp.where(degenerate, jnp.inf, z_min)
     z_max = jnp.where(degenerate, -jnp.inf, z_max)
+    if face_orig is not None:
+        # suffix running-min: z_key[i] = min_{j>=i} z_min[j], non-decreasing
+        # by construction and <= z_min slot-wise, so window selection stays
+        # exact even if host and device disagree on near-tie order.  The
+        # handful of extra faces a conservative window admits are killed by
+        # the sign recheck in _compact_slice / _crossing_topology.
+        z_key = jnp.flip(jax.lax.cummin(jnp.flip(z_min)))
+        nbr = neighbors
+        fv9 = jnp.concatenate([g.fvx.T, g.fvy.T, g.fvz.T], axis=0)
+        cmx = jax.lax.cummax(z_max)
+        auxi = jnp.concatenate(
+            [face_orig.astype(jnp.int32)[:, None], nbr.astype(jnp.int32)],
+            axis=1,
+        )
+        fvt = jnp.concatenate([fv9.T, auxi.astype(fv9.dtype)], axis=1)
+        return SortedGeom(fv9, fvt, nbr, z_min, z_key, z_max, cmx,
+                          face_orig.astype(jnp.int32))
     # lexicographic (z_min, face id) sort: plain argsort tie-orders
     # differently under vmap on TPU (all padding faces tie at +inf, and
     # equal-z real faces tie too), which would shift window boundaries
@@ -146,7 +185,7 @@ def sorted_geom(verts, faces, neighbors) -> SortedGeom:
         [order.astype(jnp.int32)[:, None], nbr.astype(jnp.int32)], axis=1
     )
     fvt = jnp.concatenate([fv9.T, auxi.astype(fv9.dtype)], axis=1)
-    return SortedGeom(fv9, fvt, nbr, zmn, z_max[order], cmx, order)
+    return SortedGeom(fv9, fvt, nbr, zmn, zmn, z_max[order], cmx, order)
 
 
 def _window_zmax(sg: SortedGeom, z, band: int):
@@ -166,8 +205,8 @@ def _window_zmax(sg: SortedGeom, z, band: int):
     under the per-slice vmap the dynamic slice lowers to a lane-direction
     gather whose cost scales with elements fetched.
     """
-    start = jnp.searchsorted(sg.z_min, z)
-    lo = jnp.clip(start - band, 0, sg.z_min.shape[0] - band)
+    start = jnp.searchsorted(sg.z_key, z)
+    lo = jnp.clip(start - band, 0, sg.z_key.shape[0] - band)
     zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
@@ -182,8 +221,8 @@ def _window_starts(sg: SortedGeom, zs, band: int):
     scalar binary search each slice would otherwise re-run inside the
     per-slice map — same values, S-fold fewer serialized gather rounds.
     """
-    starts = jnp.searchsorted(sg.z_min, zs)
-    lo = jnp.clip(starts - band, 0, sg.z_min.shape[0] - band)
+    starts = jnp.searchsorted(sg.z_key, zs)
+    lo = jnp.clip(starts - band, 0, sg.z_key.shape[0] - band)
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= zs)
     return lo, starts, overflow
@@ -408,13 +447,14 @@ def _geom_from_slab(slab, nbr_local):
 
 
 def _slice_one(sg: SortedGeom, lo, start_w, z, interp_num: int,
-               max_chain: int, band: int, compact: int = 0):
+               max_chain: int, band: int, compact: int = 0, zmax_w=None):
     F = band
     over_compact = jnp.asarray(False)
     if compact and compact < F:
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
-        zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
+        if zmax_w is None:
+            zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
         (crossed, start, end, succ, orig_id, over_compact,
          open_any) = _compact_slice(sg, zmax_w, lo, start_w, z, compact)
         F = compact
@@ -656,12 +696,13 @@ def _post_walk(order_s, succ_s, n_s, start_s, end_s, orig_s, interp_num: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interp_num", "max_chain", "chunk", "band", "use_walk"),
+    static_argnames=("interp_num", "max_chain", "chunk", "band", "use_walk",
+                     "group", "slab"),
 )
 def slice_stack(
     verts, faces, neighbors, zs, interp_num: int, max_chain: int = 2048,
     chunk: int = 50, band: int = 6144, use_walk: bool | None = None,
-    sg: SortedGeom | None = None,
+    sg: SortedGeom | None = None, group: int = 1, slab: int = 0,
 ) -> SliceStack:
     """Cross-section contour stack for all planes `zs` of one mesh.
 
@@ -689,20 +730,67 @@ def slice_stack(
         from shoulder_tpu.ops import pallas_chain
 
         k = min(512, band)
+        S = zs.shape[0]
+        F_all = sg.z_max.shape[0]
+        G = group if (group > 1 and S % group == 0 and slab > band
+                      and slab <= F_all) else 1
 
-        def prep(zlw):
-            z, lo, start_w, overflow = zlw
-            zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
-            crossed, start, end, succ, orig_c, over, open_e = _compact_slice(
-                sg, zmax_w, lo, start_w, z, k
+        if G > 1:
+            # group-slab windows: `group` adjacent planes of the monotone
+            # grid share ONE contiguous slab fetch (see SliceSetConfig).
+            # The slab reaches DOWN to the group's lowest per-plane window
+            # start, so it covers a superset of each plane's band window;
+            # faces in the extra coverage either cross (they would have
+            # been a flagged band overflow — strictly better) or fail the
+            # crossing test.  Truncation at the top (slide > slab - band)
+            # is QC-flagged per plane like a band overflow.
+            W = slab
+            glo = jnp.min(los.reshape(-1, G), axis=1)
+            glo = jnp.minimum(glo, F_all - W)
+            zs_g = zs.reshape(-1, G)
+            st_g = starts.reshape(-1, G)
+
+            def prep_group(args):
+                z_v, start_v, g0 = args
+                slab_z = jax.lax.dynamic_slice_in_dim(sg.z_max, g0, W)
+                below = jnp.maximum(g0 - 1, 0)
+                cmx_below = sg.cummax_z_max[below]
+
+                def one(z, start_w):
+                    (crossed, start, end, succ, orig_c, over,
+                     open_e) = _compact_slice(sg, slab_z, g0, start_w, z, k)
+                    miss_below = (g0 > 0) & (cmx_below >= z)
+                    miss_top = start_w - g0 > W
+                    return (succ.astype(jnp.int32),
+                            crossed.astype(jnp.int32), start, end,
+                            orig_c.astype(jnp.int32),
+                            miss_below | miss_top | over, open_e)
+
+                return jax.vmap(one)(z_v, start_v)
+
+            outs = jax.lax.map(
+                prep_group, (zs_g, st_g, glo),
+                batch_size=max(1, chunk // G),
             )
-            return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
-                    start, end, orig_c.astype(jnp.int32),
-                    overflow | over, open_e)
+            succ, crossed, start, end, orig, overflow, open_edges = (
+                jax.tree.map(lambda x: x.reshape((S,) + x.shape[2:]), outs)
+            )
+        else:
+            def prep(zlw):
+                z, lo, start_w, overflow = zlw
+                zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
+                crossed, start, end, succ, orig_c, over, open_e = (
+                    _compact_slice(sg, zmax_w, lo, start_w, z, k)
+                )
+                return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
+                        start, end, orig_c.astype(jnp.int32),
+                        overflow | over, open_e)
 
-        succ, crossed, start, end, orig, overflow, open_edges = jax.lax.map(
-            prep, (zs, los, starts, win_over), batch_size=chunk
-        )
+            succ, crossed, start, end, orig, overflow, open_edges = (
+                jax.lax.map(
+                    prep, (zs, los, starts, win_over), batch_size=chunk
+                )
+            )
         interpret = jax.default_backend() != "tpu"
         order, nvis = pallas_chain.chain_walk(
             succ, crossed, interpret=interpret
@@ -710,6 +798,45 @@ def slice_stack(
         contours, centroids, areas, total_areas = jax.vmap(
             functools.partial(_post_walk, interp_num=interp_num)
         )(order, succ, nvis[:, 0], start, end, orig)
+        return SliceStack(contours, centroids, areas, total_areas, zs,
+                          overflow, open_edges)
+
+    S = zs.shape[0]
+    F_all = sg.z_max.shape[0]
+    G = group if (group > 1 and S % group == 0 and slab > band
+                  and slab <= F_all) else 1
+
+    if G > 1:
+        # same group-slab windows as the walk branch (one slab fetch per
+        # `group` planes); _slice_one consumes the shared slab directly
+        W = slab
+        glo = jnp.min(los.reshape(-1, G), axis=1)
+        glo = jnp.minimum(glo, F_all - W)
+        zs_g = zs.reshape(-1, G)
+        st_g = starts.reshape(-1, G)
+
+        def one_group(args):
+            z_v, start_v, g0 = args
+            slab_z = jax.lax.dynamic_slice_in_dim(sg.z_max, g0, W)
+            below = jnp.maximum(g0 - 1, 0)
+            cmx_below = sg.cummax_z_max[below]
+
+            def one(z, start_w):
+                c, cen, a, ta, over_c, open_e = _slice_one(
+                    sg, g0, start_w, z, interp_num, max_chain, W,
+                    compact=min(512, band), zmax_w=slab_z,
+                )
+                miss = ((g0 > 0) & (cmx_below >= z)) | (start_w - g0 > W)
+                return c, cen, a, ta, miss | over_c, open_e
+
+            return jax.vmap(one)(z_v, start_v)
+
+        outs = jax.lax.map(
+            one_group, (zs_g, st_g, glo), batch_size=max(1, chunk // G)
+        )
+        contours, centroids, areas, total_areas, overflow, open_edges = (
+            jax.tree.map(lambda x: x.reshape((S,) + x.shape[2:]), outs)
+        )
         return SliceStack(contours, centroids, areas, total_areas, zs,
                           overflow, open_edges)
 

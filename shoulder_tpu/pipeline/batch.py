@@ -35,6 +35,10 @@ def bone_tensors(spec: BoneSpec) -> BoneTensors:
         z_length=jnp.float32(spec.z_length),
         cutoff_lo=jnp.float32(spec.cutoff_pcts[0]),
         cutoff_hi=jnp.float32(spec.cutoff_pcts[1]),
+        face_orig=(
+            None if spec.face_orig is None
+            else jnp.asarray(spec.face_orig, jnp.int32)
+        ),
     )
 
 

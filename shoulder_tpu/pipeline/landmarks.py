@@ -48,6 +48,11 @@ class BoneTensors(NamedTuple):
     z_length: jnp.ndarray
     cutoff_lo: jnp.ndarray      # canal window (ProxObb) or default
     cutoff_hi: jnp.ndarray
+    # when present, faces/neighbors are pre-sorted by OBB-frame z_min at
+    # ingest and face_orig[i] is slot i's original index (the device-side
+    # z-argsort and its reorder gathers are skipped — see
+    # ops.slicing.sorted_geom); None falls back to the device sort
+    face_orig: jnp.ndarray | None = None
 
 
 class Landmarks(NamedTuple):
@@ -170,7 +175,7 @@ def _raw_loop_at(bone: BoneTensors, z, max_chain, select, sg=None,
     if sg is None:
         sg = slicing.sorted_geom(
             geom.transform_pts(bone.verts, bone.obb_transform),
-            bone.faces, bone.neighbors,
+            bone.faces, bone.neighbors, face_orig=bone.face_orig,
         )
     return slicing.slice_raw_banded(
         sg, z, min(band, bone.faces.shape[0]), max_chain, select
@@ -569,9 +574,12 @@ def compute_landmarks(
 
     verts_obb = geom.transform_pts(bone.verts, bone.obb_transform)
     # the z-sorted face geometry depends only on the mesh: compute it once
-    # and share it across the full/proximal/distal stacks (the z-argsort
-    # over the padded face set is ~1/8 of a stack's cost)
-    sg = slicing.sorted_geom(verts_obb, bone.faces, bone.neighbors)
+    # and share it across the full/proximal/distal stacks.  Ingest-built
+    # bones arrive pre-sorted (face_orig set), so the full-face-set argsort
+    # and its reorder gathers vanish from the device program entirely
+    sg = slicing.sorted_geom(
+        verts_obb, bone.faces, bone.neighbors, face_orig=bone.face_orig
+    )
 
     # A: full stack (zs descending, slice.py:219-224)
     zs_full = jnp.linspace(
@@ -581,6 +589,7 @@ def compute_landmarks(
     full = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_full,
         cfg.full.interp_num, cfg.max_chain, chunk, cfg.full.band, sg=sg,
+        group=cfg.full.group, slab=cfg.full.slab,
     )
 
     # B: surgical neck
@@ -595,7 +604,7 @@ def compute_landmarks(
     prox = slicing.slice_stack(
         verts_obb, bone.faces, bone.neighbors, zs_prox,
         cfg.proximal.interp_num, cfg.max_chain, chunk, cfg.proximal.band,
-        sg=sg,
+        sg=sg, group=cfg.proximal.group, slab=cfg.proximal.slab,
     )
 
     # D: canal
@@ -625,7 +634,7 @@ def compute_landmarks(
         distal = slicing.slice_stack(
             verts_obb, bone.faces, bone.neighbors, zs_dist,
             cfg.distal.interp_num, cfg.max_chain, chunk, cfg.distal.band,
-            sg=sg,
+            sg=sg, group=cfg.distal.group, slab=cfg.distal.slab,
         )
         te_axis = _transepicondylar(
             distal, bone, canal_axis, axis_central, cfg

@@ -43,17 +43,30 @@ class SliceSet:
 
             zs = np.linspace(self._z_top, self._z_bottom,
                              self._family.zslice_num).astype(np.float32)
+            verts_obb = jnp.asarray(self._spec.vertices) @ jnp.asarray(
+                self._spec.obb_transform[:3, :3].T, jnp.float32
+            ) + jnp.asarray(self._spec.obb_transform[:3, 3], jnp.float32)
+            faces = jnp.asarray(self._spec.faces)
+            neighbors = jnp.asarray(self._spec.neighbors)
+            sg = None
+            if self._spec.face_orig is not None:
+                # ingest pre-sorts faces; keep loop starts on original ids
+                sg = slicing.sorted_geom(
+                    verts_obb, faces, neighbors,
+                    face_orig=jnp.asarray(self._spec.face_orig),
+                )
             st = slicing.slice_stack(
-                jnp.asarray(self._spec.vertices) @ jnp.asarray(
-                    self._spec.obb_transform[:3, :3].T, jnp.float32
-                ) + jnp.asarray(self._spec.obb_transform[:3, 3], jnp.float32),
-                jnp.asarray(self._spec.faces),
-                jnp.asarray(self._spec.neighbors),
+                verts_obb,
+                faces,
+                neighbors,
                 jnp.asarray(zs),
                 self._family.interp_num,
                 self._cfg.max_chain,
                 50,
                 self._family.band,
+                sg=sg,
+                group=self._family.group,
+                slab=self._family.slab,
             )
             self._stack = {
                 "contours": np.asarray(st.contours, np.float64),

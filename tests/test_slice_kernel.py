@@ -184,3 +184,69 @@ def test_walk_path_matches_doubling(synthetic_bone):
     assert np.allclose(
         np.asarray(a.contours)[ok], np.asarray(b.contours)[ok], atol=1e-3
     )
+
+
+def test_group_slab_matches_per_plane(synthetic_bone):
+    """group>1 (shared slab windows) must match the per-plane window path
+    bit-for-bit on non-overflowed slices, on BOTH kernel paths."""
+    verts, faces = synthetic_bone
+    v32, f32, nb = _prep(verts, faces)
+    zlo, zhi = verts[:, 2].min(), verts[:, 2].max()
+    # plane spacing dense enough that a group-of-8 window slide fits the
+    # slab allowance (production stacks are denser still); a too-coarse
+    # grid would only exercise the slab-truncation QC flag
+    zs = np.linspace(zhi - 5, zlo + 5, 48).astype(np.float32)
+
+    for walk in (False, True):
+        a = slicing.slice_stack(v32, f32, nb, zs, 64, 2048, 8, 1024, walk)
+        g = slicing.slice_stack(v32, f32, nb, zs, 64, 2048, 8, 1024, walk,
+                                group=8, slab=12288)
+        ok = ~(np.asarray(a.overflow) | np.asarray(g.overflow))
+        assert ok.sum() >= 40
+        assert np.array_equal(np.asarray(a.contours)[ok],
+                              np.asarray(g.contours)[ok]), f"walk={walk}"
+        assert np.array_equal(np.asarray(a.areas)[ok],
+                              np.asarray(g.areas)[ok]), f"walk={walk}"
+
+
+def test_presorted_matches_device_sort(synthetic_bone):
+    """sorted_geom(face_orig=...) on ingest-presorted faces must reproduce
+    the device-sorted stack exactly (same contours/areas/QC)."""
+    from shoulder_tpu.io import ingest
+
+    verts, faces = synthetic_bone
+    spec = ingest.spec_from_arrays(
+        "t", verts.astype(np.float64), faces.astype(np.int32),
+        stl.edge_face_adjacency(faces)[0].astype(np.int32), True,
+    )
+    t32 = spec.obb_transform.astype(np.float32)
+    v_obb = spec.vertices @ t32[:3, :3].T + t32[:3, 3]
+    zs = np.linspace(v_obb[:, 2].max() - 5, v_obb[:, 2].min() + 5,
+                     16).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    # reconstruct the original (STL-order) layout: the device-sort baseline
+    # must see UNSORTED faces so its orig ids are original indices, exactly
+    # what face_orig preserves through the ingest pre-sort
+    order = spec.face_orig
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.shape[0], dtype=order.dtype)
+    faces_u = spec.faces[inv]
+    nbr_u = np.where(spec.neighbors >= 0,
+                     order[np.clip(spec.neighbors, 0, None)], -1)[inv]
+
+    sg_dev = slicing.sorted_geom(jnp.asarray(v_obb), jnp.asarray(faces_u),
+                                 jnp.asarray(nbr_u))
+    sg_pre = slicing.sorted_geom(jnp.asarray(v_obb), jnp.asarray(spec.faces),
+                                 jnp.asarray(spec.neighbors),
+                                 face_orig=jnp.asarray(spec.face_orig))
+    a = slicing.slice_stack(v_obb, faces_u, nbr_u, zs, 64,
+                            2048, 8, 1024, sg=sg_dev)
+    b = slicing.slice_stack(v_obb, spec.faces, spec.neighbors, zs, 64,
+                            2048, 8, 1024, sg=sg_pre)
+    ok = ~(np.asarray(a.overflow) | np.asarray(b.overflow))
+    assert ok.sum() >= 12
+    assert np.array_equal(np.asarray(a.contours)[ok],
+                          np.asarray(b.contours)[ok])
+    assert np.array_equal(np.asarray(a.areas)[ok], np.asarray(b.areas)[ok])
