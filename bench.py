@@ -77,7 +77,7 @@ def main():
 
     # compile + warmup
     t0 = time.perf_counter()
-    lm = B.compute_landmarks_batch(bones, chunk=50)
+    lm = B.compute_landmarks_batch(bones, chunk=150)
     jax.block_until_ready(lm)
     log(f"compile+first run {time.perf_counter() - t0:.1f}s")
 
@@ -90,12 +90,12 @@ def main():
             break
         except Exception as e:  # noqa: BLE001
             log(f"fetch attempt {attempt} failed: {type(e).__name__}; rerun")
-            lm = B.compute_landmarks_batch(bones, chunk=50)
+            lm = B.compute_landmarks_batch(bones, chunk=150)
             jax.block_until_ready(lm)
 
     t0 = time.perf_counter()
     for _ in range(REPS):
-        lm = B.compute_landmarks_batch(bones, chunk=50)
+        lm = B.compute_landmarks_batch(bones, chunk=150)
         jax.block_until_ready(lm)
     dt = (time.perf_counter() - t0) / REPS
     bones_per_sec = BATCH / dt

@@ -59,7 +59,7 @@ def process_cohort(
     proximal: bool = False,
     config: PipelineConfig = DEFAULT_CONFIG,
     device_mesh=None,
-    chunk: int = 50,
+    chunk: int = 150,
     batch_size: int = 16,
 ) -> list[dict]:
     """Run the full landmark pipeline over a cohort of STL files.

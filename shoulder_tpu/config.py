@@ -62,6 +62,14 @@ class PipelineConfig:
                                               band=1024)
     distal: SliceSetConfig = SliceSetConfig(zslice_num=200, interp_num=500,
                                             band=2048)
+    # compacted crossing-face slots per slicing plane: every per-plane
+    # stage (compaction row gather, SMEM walk, post-walk stats/resample)
+    # scales with it.  Worst per-plane crossing count measured across the
+    # reference fixtures is 330 (full stack, elbow region); 384 carries a
+    # 16% margin and cut the batch-8 bench 763 -> 693 ms vs 512.  A slice
+    # whose crossing count exceeds it degrades ONLY that slice and raises
+    # qc_slice_overflow — capped never means silent.
+    slice_compact_k: int = 384
 
     # fraction of the OBB z-extent covered by full/distal slicing
     # (reference slice.py:221-222, 273)

@@ -49,17 +49,29 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 8  # slices per kernel invocation (SMEM block second-minor dim)
 
 
-def _walk_kernel(succ_ref, crossed_ref, combo_ref):
+def _walk_kernel(succ_ref, nc_ref, combo_ref):
     """combo layout per row: [0:K) mutable succ / visited marks,
-    [K:2K) order, [2K] visit count."""
+    [K:2K) order (run-HEAD entries carry a +K mark), [2K] visit count.
+
+    The in-kernel succ copy stands because every aliasing variant fails on
+    this Mosaic deployment (input_output_aliases into the SMEM combo
+    output aborts the device with INTERNAL — re-confirmed round 3 with
+    the succ block embedded at combo[:, 0:K]); see module note 2.  The
+    copy and the head seek are bounded by nc (the row's crossed count,
+    computed caller-side): crossed faces are front-packed, so slots past
+    nc are never read — at humeral shapes that halves the copy (the
+    biggest share of kernel ops) and retires the crossed input block.
+    """
     k = succ_ref.shape[1]
 
     def row(r, _):
+        nc = nc_ref[r, 0]
+
         def cp(i, _):
             combo_ref[r, i] = succ_ref[r, i]
             return _
 
-        jax.lax.fori_loop(0, k, cp, 0)
+        jax.lax.fori_loop(0, nc, cp, 0)
 
         def cond(state):
             return state[3] == 0
@@ -68,27 +80,32 @@ def _walk_kernel(succ_ref, crossed_ref, combo_ref):
             head, pos, cur, done = state
 
             def walk(_):
-                nxt = combo_ref[r, cur]
-                combo_ref[r, cur] = -1  # visited mark
+                # cur >= k flags a freshly-seeded run head; the mark is
+                # stored into the order slot (the caller strips it) and
+                # dropped for the successor lookup
+                actual = jax.lax.select(cur >= k, cur - k, cur)
+                nxt = combo_ref[r, actual]
+                combo_ref[r, actual] = -1  # visited mark
                 combo_ref[r, k + pos] = cur
                 # loop closes when the successor is already visited
-                # (if nxt == cur, the dead end was just marked visited)
+                # (if nxt == actual, the dead end was just marked visited)
                 new_cur = jax.lax.select(
                     combo_ref[r, nxt] < 0, jnp.int32(-1), nxt
                 )
                 return head, pos + 1, new_cur, jnp.int32(0)
 
             def seek(_):
-                # stop at the first uncrossed slot (crossed is front-packed)
-                probe = jnp.minimum(head, k - 1)
-                exhausted = (head >= k) | (crossed_ref[r, probe] == 0)
+                # crossed faces are front-packed: nc bounds the heads
+                exhausted = head >= nc
 
                 def stop(_):
                     return head, pos, jnp.int32(-1), jnp.int32(1)
 
                 def advance(_):
                     visited = combo_ref[r, head] < 0
-                    new_cur = jax.lax.select(visited, jnp.int32(-1), head)
+                    new_cur = jax.lax.select(
+                        visited, jnp.int32(-1), head + k
+                    )
                     return head + 1, pos, new_cur, jnp.int32(0)
 
                 return jax.lax.cond(exhausted, stop, advance, None)
@@ -105,10 +122,13 @@ def _walk_kernel(succ_ref, crossed_ref, combo_ref):
 
 def _walk_impl(succ, crossed, interpret: bool):
     s, k = succ.shape
+    # crossed is front-packed by _compact_slice, so its count fully
+    # replaces it inside the kernel (copy + seek bounds)
+    nc = jnp.sum(crossed.astype(jnp.int32), axis=1, keepdims=True)
     pad = (-s) % _ROWS
     if pad:
         succ = jnp.pad(succ, ((0, pad), (0, 0)))
-        crossed = jnp.pad(crossed, ((0, pad), (0, 0)))
+        nc = jnp.pad(nc, ((0, pad), (0, 0)))
     sp = succ.shape[0]
 
     blk = lambda d: pl.BlockSpec((_ROWS, d), lambda i: (i, 0),
@@ -116,11 +136,11 @@ def _walk_impl(succ, crossed, interpret: bool):
     combo = pl.pallas_call(
         _walk_kernel,
         grid=(sp // _ROWS,),
-        in_specs=[blk(k), blk(k)],
+        in_specs=[blk(k), blk(1)],
         out_specs=blk(2 * k + 1),
         out_shape=jax.ShapeDtypeStruct((sp, 2 * k + 1), jnp.int32),
         interpret=interpret,
-    )(succ, crossed)
+    )(succ, nc)
     return combo[:s, k:2 * k], combo[:s, 2 * k:2 * k + 1]
 
 
@@ -152,7 +172,25 @@ def chain_walk(succ, crossed, interpret: bool = False):
     Returns (order (S,K), n (S,1)); entries at positions >= n are garbage
     and must be masked by the caller.
     """
-    return _walk_fn(interpret)(succ, crossed)
+    order, n = _walk_fn(interpret)(succ, crossed)
+    k = succ.shape[-1]
+    return jnp.where(order >= k, order - k, order), n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chain_walk_marked(succ, crossed, interpret: bool = False):
+    """chain_walk plus the kernel's run-start marks.
+
+    Returns (order (S,K), n (S,1), is_start (S,K) bool): is_start[p] is
+    True exactly where walk position p begins a new loop — the same
+    predicate loop_ids_from_order reconstructs with a succ gather, but
+    emitted for free by the walk (the head entry carries a +K offset in
+    the order slot).  Entries past n are garbage in both arrays.
+    """
+    order, n = _walk_fn(interpret)(succ, crossed)
+    k = succ.shape[-1]
+    is_start = order >= k
+    return jnp.where(is_start, order - k, order), n, is_start
 
 
 def loop_ids_from_order(order, succ):

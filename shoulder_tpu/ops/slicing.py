@@ -125,6 +125,14 @@ class SortedGeom(NamedTuple):
     #                           searchsorted(z_key, z) regardless of that
     #                           disorder
     z_max: jnp.ndarray        # (F,) face z_max per sorted slot
+    z_mm: jnp.ndarray         # (F,2) [z_min, z_max] per slot: ONE window
+    #                           fetch serves the exact interval crossing
+    #                           test (z_min < z <= z_max) — position-vs-
+    #                           start is NOT a valid crossing test under
+    #                           ingest-presorted geometry, where the
+    #                           conservative z_key window can admit faces
+    #                           with z_min >= z that would break the
+    #                           walk kernel's front-packed invariant
     cummax_z_max: jnp.ndarray  # (F,) running max of z_max in sorted order
     orig_id: jnp.ndarray      # (F,) original face index per sorted slot
 
@@ -166,7 +174,8 @@ def sorted_geom(verts, faces, neighbors, face_orig=None) -> SortedGeom:
             axis=1,
         )
         fvt = jnp.concatenate([fv9.T, auxi.astype(fv9.dtype)], axis=1)
-        return SortedGeom(fv9, fvt, nbr, z_min, z_key, z_max, cmx,
+        z_mm = jnp.stack([z_min, z_max], axis=1)
+        return SortedGeom(fv9, fvt, nbr, z_min, z_key, z_max, z_mm, cmx,
                           face_orig.astype(jnp.int32))
     # lexicographic (z_min, face id) sort: plain argsort tie-orders
     # differently under vmap on TPU (all padding faces tie at +inf, and
@@ -185,13 +194,15 @@ def sorted_geom(verts, faces, neighbors, face_orig=None) -> SortedGeom:
         [order.astype(jnp.int32)[:, None], nbr.astype(jnp.int32)], axis=1
     )
     fvt = jnp.concatenate([fv9.T, auxi.astype(fv9.dtype)], axis=1)
-    return SortedGeom(fv9, fvt, nbr, zmn, zmn, z_max[order], cmx, order)
+    zmx = z_max[order]
+    z_mm = jnp.stack([zmn, zmx], axis=1)
+    return SortedGeom(fv9, fvt, nbr, zmn, zmn, zmx, z_mm, cmx, order)
 
 
 def _window_zmax(sg: SortedGeom, z, band: int):
-    """The z_max row of the (band,) face window of plane z, its start
-    offset and insertion point, and an overflow flag (true would mean the
-    band is too small: a face below the window with z_max >= z would be a
+    """The (band, 2) [z_min, z_max] window of plane z, its start offset
+    and insertion point, and an overflow flag (true would mean the band
+    is too small: a face below the window with z_max >= z would be a
     missed crossing).
 
     Windows are contiguous slabs of the z-sorted order cut with ONE
@@ -207,10 +218,10 @@ def _window_zmax(sg: SortedGeom, z, band: int):
     """
     start = jnp.searchsorted(sg.z_key, z)
     lo = jnp.clip(start - band, 0, sg.z_key.shape[0] - band)
-    zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
+    zmm_w = jax.lax.dynamic_slice_in_dim(sg.z_mm, lo, band, axis=0)
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= z)
-    return zmax_w, lo, start, overflow
+    return zmm_w, lo, start, overflow
 
 
 def _window_starts(sg: SortedGeom, zs, band: int):
@@ -220,8 +231,14 @@ def _window_starts(sg: SortedGeom, zs, band: int):
     One vectorized searchsorted over all S planes replaces the log2(F)
     scalar binary search each slice would otherwise re-run inside the
     per-slice map — same values, S-fold fewer serialized gather rounds.
+
+    method='compare_all' turns the S x log2(F) scalar-gather rounds of the
+    default scan into one broadcast compare-reduce (S x F bools on the
+    VPU): measured 29.5 -> ~2 ms for the 600-plane proximal stack at
+    batch 8 — scalar gathers are the scarce resource, vector compares are
+    effectively free at these shapes.
     """
-    starts = jnp.searchsorted(sg.z_key, zs)
+    starts = jnp.searchsorted(sg.z_key, zs, method="compare_all")
     lo = jnp.clip(starts - band, 0, sg.z_key.shape[0] - band)
     below = jnp.maximum(lo - 1, 0)
     overflow = (lo > 0) & (sg.cummax_z_max[below] >= zs)
@@ -454,7 +471,7 @@ def _slice_one(sg: SortedGeom, lo, start_w, z, interp_num: int,
         # pack the ~300 crossing faces to the front: the pointer-doubling
         # gathers are the kernel's hot loop on TPU, and they shrink 4x
         if zmax_w is None:
-            zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
+            zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_mm, lo, band, axis=0)
         (crossed, start, end, succ, orig_id, over_compact,
          open_any) = _compact_slice(sg, zmax_w, lo, start_w, z, compact)
         F = compact
@@ -492,16 +509,18 @@ def _slice_one(sg: SortedGeom, lo, start_w, z, interp_num: int,
             over_compact, open_any)
 
 
-def _compact_slice(sg: SortedGeom, zmax_w, lo, start, z, k: int):
+def _compact_slice(sg: SortedGeom, zmm_w, lo, start, z, k: int):
     """Crossing segments compacted to the first k slots (crossed first).
 
     The crossing test is exact interval algebra, not band-wide sign math:
     a face has exactly 2 crossed edges iff its vertices carry both signs
     of d = z_vert - z, and under the kernel's d==0 -> +1e-7 convention
-    that is precisely (z_min < z) & (z_max >= z).  Faces are z_min-sorted
-    and the window ends at start = searchsorted(z_min, z, 'left'), so
-    z_min < z is just `window position < start` — the whole band-wide
-    crossing stage reduces to ONE fetched row (z_max) and one compare.
+    that is precisely (z_min < z) & (z_max >= z) — tested directly on the
+    fetched (band, 2) [z_min, z_max] window.  (`window position < start`
+    is NOT equivalent under ingest-presorted geometry: the conservative
+    z_key window can admit faces with z_min >= z, and a position test
+    would compact them as spurious uncrossed slots, breaking the walk
+    kernel's front-packed invariant.)
 
     The partition is computed with a cumsum + one scatter (crossed faces
     to slots [0, ncross) in window order; slots >= ncross keep their zero
@@ -518,9 +537,8 @@ def _compact_slice(sg: SortedGeom, zmax_w, lo, start, z, k: int):
     re-derived per compacted face with the same arithmetic as the band
     formulation, so the results are bit-identical.
     """
-    band = zmax_w.shape[0]
-    pos_idx = lo + jnp.arange(band, dtype=jnp.int32)
-    crossed = (zmax_w >= z) & (pos_idx < start)
+    band = zmm_w.shape[0]
+    crossed = (zmm_w[:, 1] >= z) & (zmm_w[:, 0] < z)
 
     csum_c = jnp.cumsum(crossed.astype(jnp.int32))
     ncross = csum_c[-1]
@@ -610,7 +628,8 @@ def _compact_slice(sg: SortedGeom, zmax_w, lo, start, z, k: int):
             jnp.any(open_edge_c & ~over))
 
 
-def _post_walk(order_s, succ_s, n_s, start_s, end_s, orig_s, interp_num: int):
+def _post_walk(order_s, start_flags, n_s, start_s, end_s, orig_s,
+               interp_num: int):
     """Finish one slice from the walk output: pick the largest loop, roll to
     the oracle start face (min original index), arc-length resample.
 
@@ -621,27 +640,22 @@ def _post_walk(order_s, succ_s, n_s, start_s, end_s, orig_s, interp_num: int):
     run's moment sums at its end position.  The device trace had the old
     (K+1, 5) scatter-add as the single most expensive op of the whole
     pipeline (147 ms/batch-8 for the proximal stack alone — scatter-adds
-    issue ~8x slower than row gathers on v5e), and the successor column
-    rides the existing endpoint gather, which also retires the separate
-    loop-ids-from-order gather.
+    issue ~8x slower than row gathers on v5e).  Run boundaries arrive as
+    the walk kernel's free start marks (chain_walk_marked), so the gather
+    carries only endpoints + original id.
     """
     K = order_s.shape[0]
     posn = jnp.arange(K)
     valid = posn < n_s
     f = jnp.where(valid, order_s, 0)
-    # one gather brings both segment endpoints, the original face id AND
-    # the successor of every walk position (ids exact as f32 values)
+    # one gather brings both segment endpoints and the original face id of
+    # every walk position (ids exact as f32 values)
     se = jnp.concatenate(
-        [start_s, end_s, orig_s[:, None].astype(start_s.dtype),
-         succ_s[:, None].astype(start_s.dtype)], axis=1
-    )[f]                                     # (K, 6), walk order
+        [start_s, end_s, orig_s[:, None].astype(start_s.dtype)], axis=1
+    )[f]                                     # (K, 5), walk order
     sx, sy, ex, ey = se[:, 0], se[:, 1], se[:, 2], se[:, 3]
     cr2 = jnp.where(valid, sx * ey - ex * sy, 0.0)
-    # a new run starts where the previous position's successor is not this
-    # face (a closed loop's last face points back to its own head, a dead
-    # end points to itself — never to the next run's head)
-    succ_prev = jnp.roll(se[:, 5], 1).astype(jnp.int32)
-    is_start = valid & ((posn == 0) | (f != succ_prev))
+    is_start = valid & start_flags
     # a run ends just before the next start, or at the last valid position
     is_end = valid & (jnp.roll(is_start, -1) | (posn == n_s - 1))
 
@@ -697,12 +711,13 @@ def _post_walk(order_s, succ_s, n_s, start_s, end_s, orig_s, interp_num: int):
 @functools.partial(
     jax.jit,
     static_argnames=("interp_num", "max_chain", "chunk", "band", "use_walk",
-                     "group", "slab"),
+                     "group", "slab", "compact_k"),
 )
 def slice_stack(
     verts, faces, neighbors, zs, interp_num: int, max_chain: int = 2048,
     chunk: int = 50, band: int = 6144, use_walk: bool | None = None,
     sg: SortedGeom | None = None, group: int = 1, slab: int = 0,
+    compact_k: int = 512,
 ) -> SliceStack:
     """Cross-section contour stack for all planes `zs` of one mesh.
 
@@ -729,7 +744,7 @@ def slice_stack(
     if use_walk:
         from shoulder_tpu.ops import pallas_chain
 
-        k = min(512, band)
+        k = min(compact_k, band)
         S = zs.shape[0]
         F_all = sg.z_max.shape[0]
         G = group if (group > 1 and S % group == 0 and slab > band
@@ -752,7 +767,7 @@ def slice_stack(
 
             def prep_group(args):
                 z_v, start_v, g0 = args
-                slab_z = jax.lax.dynamic_slice_in_dim(sg.z_max, g0, W)
+                slab_z = jax.lax.dynamic_slice_in_dim(sg.z_mm, g0, W, axis=0)
                 below = jnp.maximum(g0 - 1, 0)
                 cmx_below = sg.cummax_z_max[below]
 
@@ -778,9 +793,10 @@ def slice_stack(
         else:
             def prep(zlw):
                 z, lo, start_w, overflow = zlw
-                zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
+                zmm_w = jax.lax.dynamic_slice_in_dim(sg.z_mm, lo, band,
+                                                      axis=0)
                 crossed, start, end, succ, orig_c, over, open_e = (
-                    _compact_slice(sg, zmax_w, lo, start_w, z, k)
+                    _compact_slice(sg, zmm_w, lo, start_w, z, k)
                 )
                 return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                         start, end, orig_c.astype(jnp.int32),
@@ -792,12 +808,12 @@ def slice_stack(
                 )
             )
         interpret = jax.default_backend() != "tpu"
-        order, nvis = pallas_chain.chain_walk(
+        order, nvis, run_starts = pallas_chain.chain_walk_marked(
             succ, crossed, interpret=interpret
         )
         contours, centroids, areas, total_areas = jax.vmap(
             functools.partial(_post_walk, interp_num=interp_num)
-        )(order, succ, nvis[:, 0], start, end, orig)
+        )(order, run_starts, nvis[:, 0], start, end, orig)
         return SliceStack(contours, centroids, areas, total_areas, zs,
                           overflow, open_edges)
 
@@ -817,14 +833,14 @@ def slice_stack(
 
         def one_group(args):
             z_v, start_v, g0 = args
-            slab_z = jax.lax.dynamic_slice_in_dim(sg.z_max, g0, W)
+            slab_z = jax.lax.dynamic_slice_in_dim(sg.z_mm, g0, W, axis=0)
             below = jnp.maximum(g0 - 1, 0)
             cmx_below = sg.cummax_z_max[below]
 
             def one(z, start_w):
                 c, cen, a, ta, over_c, open_e = _slice_one(
                     sg, g0, start_w, z, interp_num, max_chain, W,
-                    compact=min(512, band), zmax_w=slab_z,
+                    compact=min(compact_k, band), zmax_w=slab_z,
                 )
                 miss = ((g0 > 0) & (cmx_below >= z)) | (start_w - g0 > W)
                 return c, cen, a, ta, miss | over_c, open_e
@@ -844,7 +860,7 @@ def slice_stack(
         z, lo, start_w, overflow = zlw
         c, cen, a, ta, over_c, open_e = _slice_one(
             sg, lo, start_w, z, interp_num, max_chain, band,
-            compact=min(512, band),
+            compact=min(compact_k, band),
         )
         return c, cen, a, ta, overflow | over_c, open_e
 

@@ -35,7 +35,7 @@ def sharded_landmark_fn(
     mesh: Mesh,
     proximal: bool = False,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    chunk: int = 50,
+    chunk: int = 150,
     axis: str = "bone",
 ):
     """jit-compiled batched pipeline with bone-sharded in/out specs."""

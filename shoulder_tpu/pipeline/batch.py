@@ -56,7 +56,7 @@ def compute_landmarks_batch(
     rf: forest.ForestParams | None = None,
     proximal: bool = False,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    chunk: int = 50,
+    chunk: int = 150,
 ) -> Landmarks:
     """vmapped landmark pipeline over a bone batch (leading dim)."""
     if rf is None:

@@ -559,7 +559,7 @@ def compute_landmarks(
     rf: ForestParams,
     proximal: bool = False,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    chunk: int = 50,
+    chunk: int = 150,
     seg_params=None,
 ) -> Landmarks:
     if cfg.segmenter == "unet" and seg_params is None:
@@ -590,6 +590,7 @@ def compute_landmarks(
         verts_obb, bone.faces, bone.neighbors, zs_full,
         cfg.full.interp_num, cfg.max_chain, chunk, cfg.full.band, sg=sg,
         group=cfg.full.group, slab=cfg.full.slab,
+        compact_k=cfg.slice_compact_k,
     )
 
     # B: surgical neck
@@ -605,6 +606,7 @@ def compute_landmarks(
         verts_obb, bone.faces, bone.neighbors, zs_prox,
         cfg.proximal.interp_num, cfg.max_chain, chunk, cfg.proximal.band,
         sg=sg, group=cfg.proximal.group, slab=cfg.proximal.slab,
+        compact_k=cfg.slice_compact_k,
     )
 
     # D: canal
@@ -635,6 +637,7 @@ def compute_landmarks(
             verts_obb, bone.faces, bone.neighbors, zs_dist,
             cfg.distal.interp_num, cfg.max_chain, chunk, cfg.distal.band,
             sg=sg, group=cfg.distal.group, slab=cfg.distal.slab,
+            compact_k=cfg.slice_compact_k,
         )
         te_axis = _transepicondylar(
             distal, bone, canal_axis, axis_central, cfg

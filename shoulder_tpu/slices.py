@@ -67,6 +67,7 @@ class SliceSet:
                 sg=sg,
                 group=self._family.group,
                 slab=self._family.slab,
+                compact_k=self._cfg.slice_compact_k,
             )
             self._stack = {
                 "contours": np.asarray(st.contours, np.float64),

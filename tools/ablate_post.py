@@ -67,7 +67,7 @@ def main():
 
         def prep(zlw):
             z, lo, start_w, overflow = zlw
-            zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_max, lo, band)
+            zmax_w = jax.lax.dynamic_slice_in_dim(sg.z_mm, lo, band, axis=0)
             crossed, start, end, succ, orig_c, over, open_e = (
                 slicing._compact_slice(sg, zmax_w, lo, start_w, z, k)
             )
@@ -80,8 +80,8 @@ def main():
 
     prep_out = timeit("prep (hoisted searchsorted)", prep_all, zs)
     succ, crossed, start, end, orig, overflow, open_e = prep_out
-    order, nvis = jax.block_until_ready(
-        jax.jit(functools.partial(pallas_chain.chain_walk,
+    order, nvis, run_starts = jax.block_until_ready(
+        jax.jit(functools.partial(pallas_chain.chain_walk_marked,
                                   interpret=interpret))(succ, crossed)
     )
     loop_id = jax.block_until_ready(
@@ -155,12 +155,12 @@ def main():
 
     timeit("resample only", resample_only, pts_all, nb_all)
 
-    def post_all(order, loop_id, n_s, start, end, orig):
+    def post_all(order, run_starts, n_s, start, end, orig):
         return jax.vmap(
             functools.partial(slicing._post_walk, interp_num=interp_num)
-        )(order, loop_id, n_s, start, end, orig)
+        )(order, run_starts, n_s, start, end, orig)
 
-    timeit("post FULL", post_all, order, loop_id, n_s, start, end, orig)
+    timeit("post FULL", post_all, order, run_starts, n_s, start, end, orig)
 
 
 if __name__ == "__main__":

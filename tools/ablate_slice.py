@@ -66,9 +66,9 @@ def main():
 
     def prep_all(sg, zs):
         def prep(z):
-            zmax_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
+            zmm_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
             crossed, start, end, succ, orig_c, over, open_e = (
-                slicing._compact_slice(sg, zmax_w, lo, start_w, z, k)
+                slicing._compact_slice(sg, zmm_w, lo, start_w, z, k)
             )
             return (succ.astype(jnp.int32), crossed.astype(jnp.int32),
                     start, end, orig_c.astype(jnp.int32),
@@ -78,16 +78,15 @@ def main():
 
     def window_only(sg, zs):
         def w(z):
-            zmax_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
-            return zmax_w.sum(), lo, overflow
+            zmm_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
+            return zmm_w.sum(), lo, overflow
 
         return jax.lax.map(w, zs, batch_size=chunk)
 
     def cross_only(sg, zs):
         def c(z):
-            zmax_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
-            pos_idx = lo + jnp.arange(band, dtype=jnp.int32)
-            crossed = (zmax_w >= z) & (pos_idx < start_w)
+            zmm_w, lo, start_w, overflow = slicing._window_zmax(sg, z, band)
+            crossed = (zmm_w[:, 1] >= z) & (zmm_w[:, 0] < z)
             return crossed.sum(), lo, overflow
 
         return jax.lax.map(c, zs, batch_size=chunk)
@@ -99,18 +98,18 @@ def main():
     succ, crossed, start, end, orig, overflow, open_e = prep_out
 
     def walk_only(succ, crossed):
-        return pallas_chain.chain_walk(succ, crossed, interpret=interpret)
+        return pallas_chain.chain_walk_marked(succ, crossed,
+                                              interpret=interpret)
 
-    order, nvis = timeit("walk", walk_only, succ, crossed)
+    order, nvis, run_starts = timeit("walk", walk_only, succ, crossed)
 
-    def post_all(order, succ, nvis, start, end, orig):
-        loop_id = pallas_chain.loop_ids_from_order(order, succ)
+    def post_all(order, run_starts, nvis, start, end, orig):
         return jax.vmap(
             functools.partial(slicing._post_walk, interp_num=interp_num)
-        )(order, loop_id, nvis[:, 0], start, end, orig)
+        )(order, run_starts, nvis[:, 0], start, end, orig)
 
-    timeit("post (stats+resample)", post_all, order, succ, nvis, start, end,
-           orig)
+    timeit("post (stats+resample)", post_all, order, run_starts, nvis, start,
+           end, orig)
 
     def full(v, zs):
         return slicing.slice_stack(

@@ -69,7 +69,7 @@ def main():
         lambda v, t: geom.transform_pts(v, t)
     ))(bones.verts, bones.obb_transform))
     sg = timeit("0 sorted_geom", jax.vmap(slicing.sorted_geom),
-                verts_obb, bones.faces, bones.neighbors)
+                verts_obb, bones.faces, bones.neighbors, bones.face_orig)
 
     def bt_i(i):
         return jax.tree.map(lambda x: x[i], bones)
@@ -78,7 +78,7 @@ def main():
         def one(v, f, nbr, sg1, zmax, zmin):
             zs = jnp.linspace(z_from(zmax, zmin), z_to(zmax, zmin), n_z)
             return slicing.slice_stack(
-                v, f, nbr, zs, interp_num, cfg.max_chain, 50, band, sg=sg1
+                v, f, nbr, zs, interp_num, cfg.max_chain, 150, band, sg=sg1
             )
         return jax.vmap(one)
 
@@ -101,7 +101,7 @@ def main():
     def prox_one(v, f, nbr, sg1, zmax, nz):
         zs = jnp.linspace(cfg.z_inset * zmax, nz, cfg.proximal.zslice_num)
         return slicing.slice_stack(
-            v, f, nbr, zs, cfg.proximal.interp_num, cfg.max_chain, 50,
+            v, f, nbr, zs, cfg.proximal.interp_num, cfg.max_chain, 150,
             cfg.proximal.band, sg=sg1,
         )
 
@@ -156,7 +156,7 @@ def main():
     def dist_one(v, f, nbr, sg1, zmin):
         zs = jnp.linspace(cfg.z_inset * zmin, 0.0, cfg.distal.zslice_num)
         return slicing.slice_stack(
-            v, f, nbr, zs, cfg.distal.interp_num, cfg.max_chain, 50,
+            v, f, nbr, zs, cfg.distal.interp_num, cfg.max_chain, 150,
             cfg.distal.band, sg=sg1,
         )
 
