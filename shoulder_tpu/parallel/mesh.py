@@ -84,11 +84,17 @@ def _cohort_stats_fn(mesh: Mesh, axis: str = "bone"):
             parts = jnp.stack([
                 jnp.sum(ok.astype(jnp.float32)),
                 jnp.sum(jnp.where(ok, x, 0.0)),
-                jnp.sum(jnp.where(ok, x * x, 0.0)),
             ])
-            n, s, ss = jax.lax.psum(parts, axis)
+            n, s = jax.lax.psum(parts, axis)
             mean = s / jnp.maximum(n, 1.0)
-            var = jnp.maximum(ss / jnp.maximum(n, 1.0) - mean * mean, 0.0)
+            # two-pass (mean-shifted) variance: the one-pass E[x^2]-mean^2
+            # form catastrophically cancels in f32 at anatomical scales
+            # (XLA fuses mean*mean into an fma, so a cohort of IDENTICAL
+            # ~114-deg values returned std ~0.04 instead of 0); centering
+            # first costs one extra psum of a scalar and is exact where it
+            # matters
+            d2 = jnp.sum(jnp.where(ok, (x - mean) ** 2, 0.0))
+            var = jax.lax.psum(d2, axis) / jnp.maximum(n, 1.0)
             return mean, jnp.sqrt(var), n
 
         out = {}

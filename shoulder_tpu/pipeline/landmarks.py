@@ -187,13 +187,16 @@ def _to_polar_start(contour, center):
     """theta/r of a contour, rolled so argmin(theta) leads.
 
     Reference _cart2pol_no_sort + roll-to-min (slice.py:102-147).  Returns
-    (theta (N,), r (N,)).
+    (theta (N,), r (N,)).  The two rolls ride ONE (N, 2) row gather —
+    paired-row rolls issue ~3x faster than two flat rolls under the
+    per-slice vmap (same trick as find_peaks' shift-paired tables).
     """
     d = contour - center
     theta = jnp.arctan2(d[:, 1], d[:, 0])
     r = jnp.linalg.norm(d, axis=1)
     shift = jnp.argmin(theta)
-    return jnp.roll(theta, -shift), jnp.roll(r, -shift)
+    pr = jnp.roll(jnp.stack([theta, r], axis=1), -shift, axis=0)
+    return pr[:, 0], pr[:, 1]
 
 
 # --------------------------------------------------------------------- E
@@ -360,12 +363,19 @@ def _anp_image_points(prox: slicing.SliceStack, bg_theta,
         # even-theta resample from th[0] to th[-2] over th[:-1]
         # (anatomic_neck.py:43-44).  interp_ascending is jnp.interp minus
         # the per-sample binary search (which alone was ~345 ms/batch-8 —
-        # the whole polar-image hot spot)
-        t_samp = jnp.linspace(th[0], th[-2], interp)
+        # the whole polar-image hot spot).  The grid is built explicitly
+        # as th0 + j*step (ulp-equal to linspace) so its groove-angle roll
+        # below is closed-form modular arithmetic instead of a gather.
+        step = (th[-2] - th[0]) / (interp - 1)
+        j = jnp.arange(interp, dtype=th.dtype)
+        t_samp = th[0] + j * step
         r_i = sig.interp_ascending(t_samp, th[:-1], r[:-1])
-        # roll so the groove angle leads (anatomic_neck.py:48-49)
+        # roll so the groove angle leads (anatomic_neck.py:48-49); only
+        # r_i needs the gather — the rolled uniform grid is elementwise
         shift = jnp.argmin(jnp.abs(t_samp - bg_theta))
-        return jnp.roll(t_samp, -shift), jnp.roll(r_i, -shift)
+        jr = (jnp.arange(interp) + shift) % interp
+        t_rolled = th[0] + jr.astype(th.dtype) * step
+        return t_rolled, jnp.roll(r_i, -shift)
 
     t_im, r_im = jax.vmap(polar_row)(contours)   # (R, 512) each
 
