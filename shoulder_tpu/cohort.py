@@ -60,7 +60,7 @@ def process_cohort(
     config: PipelineConfig = DEFAULT_CONFIG,
     device_mesh=None,
     chunk: int = 150,
-    batch_size: int = 16,
+    batch_size: int = 8,
 ) -> list[dict]:
     """Run the full landmark pipeline over a cohort of STL files.
 

@@ -1,12 +1,13 @@
 """End-to-end streamed-cohort benchmark: 64 bones incl. host ingest.
 
 Times `shoulder_tpu.cohort.process_cohort` over the 4 reference fixtures
-replicated x16 (= 64 bones), batch_size 16, on the current device.  The
+replicated x16 (= 64 bones), batch_size 8 (the measured device sweet spot;
 first pass pays compilation; the second (reported) pass is warm but still
 re-ingests every STL from disk — this is the deployment number PERF.md's
 "cohort end-to-end" rows quote.
 
-Run:  python tools/bench_cohort.py [repeats_per_fixture] [batch_size]
+batch 8-12 runs ~11.6 bones/s on-device, 16+ degrades), on the current
+device.  Run:  python tools/bench_cohort.py [repeats_per_fixture] [batch_size]
 """
 
 import sys
@@ -27,7 +28,7 @@ def main():
     from shoulder_tpu import cohort
 
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     base = Path("/root/reference/tests/test_bones")
     paths = [str(base / f) for f in FIXTURES for _ in range(reps)]
     print(f"[cohort] {len(paths)} bones, batch_size {batch_size}")
