@@ -494,14 +494,23 @@ def rbf_changepoint_1bkp(signal, valid=None, min_size: int = 2):
     csum = jnp.cumsum(jnp.cumsum(k, axis=0), axis=1)
     padded = jnp.zeros((n_total + 1, n_total + 1)).at[1:, 1:].set(csum)
 
-    def block(s, e):  # sum over K[s:e, s:e]
-        return padded[e, e] - padded[s, e] - padded[e, s] + padded[s, s]
-
+    # block(s, e) = sum over K[s:e, s:e]
+    #             = padded[e,e] - padded[s,e] - padded[e,s] + padded[s,s];
+    # evaluated for all split points at once from the prefix table's
+    # diagonal plus its 0th and (traced) nth row/column — pure vector
+    # slices instead of ~8 scalar gathers per split under the vmap (the
+    # scalar-gather chain made this 58-point changepoint cost 25 ms/batch-8)
     ts = jnp.arange(n_total)
     len1 = ts.astype(jnp.float32)
     len2 = (n - ts).astype(jnp.float32)
-    s1 = jax.vmap(lambda t: block(0, t))(ts)
-    s2 = jax.vmap(lambda t: block(t, n))(ts)
+    diag = jnp.diagonal(padded)[:n_total]          # padded[t, t]
+    row0 = padded[0, :n_total]                     # padded[0, t]
+    col0 = padded[:n_total, 0]                     # padded[t, 0]
+    rown = jax.lax.dynamic_slice_in_dim(padded, n, 1, axis=0)[0]
+    coln = jax.lax.dynamic_slice_in_dim(padded, n, 1, axis=1)[:, 0]
+    snn = jax.lax.dynamic_slice_in_dim(rown, n, 1)[0]
+    s1 = diag - row0 - col0 + padded[0, 0]         # block(0, t)
+    s2 = snn - coln[:n_total] - rown[:n_total] + diag   # block(t, n)
     cost = (
         len1 - s1 / jnp.maximum(len1, 1.0)
         + len2 - s2 / jnp.maximum(len2, 1.0)
