@@ -553,9 +553,6 @@ def _compact_slice(sg: SortedGeom, zmm_w, lo, start, z, k: int):
     # possibly a duplicate of a crossed face) — `valid_c` masks them out
     # of every data-dependent read below
     valid_c = jnp.arange(k, dtype=jnp.int32) < ncross
-    # band-index -> compact-slot inverse, crossed faces only (`dest` is
-    # injective on them); uncrossed or compacted-out faces map to -1
-    inv = jnp.where(crossed & (dest < k), dest, -1)
     rows = jnp.arange(k)
     # one row gather brings each compacted face's whole geometry AND its
     # original-id/neighbor ids (float32-VALUE columns 9-12 of the table;
@@ -603,14 +600,18 @@ def _compact_slice(sg: SortedGeom, zmm_w, lo, start, z, k: int):
     # neighbor ids (the band never touches neighbors), same one-hot trick
     nbr_exit = jnp.sum(jnp.where(x_hot, gi[:, 1:4], 0), axis=1)
     succ_w = jnp.where(nbr_exit >= 0, nbr_exit - lo, -1)  # window-local
-    in_win = (succ_w >= 0) & (succ_w < band)
-    # compact id of the successor: -1 when the neighbor is missing (open
-    # boundary), uncrossed, outside the window, or compacted out (the
-    # latter two only on overflow — `over` flags that case, so gate the
-    # open-edge signal on ~over)
-    succ_c = jnp.where(
-        in_win, inv[jnp.clip(succ_w, 0, band - 1)], -1
-    )
+    # compact id of the successor by window-position EQUALITY against the
+    # compacted `order` row: one (k, k) VPU compare-reduce instead of the
+    # band-sized inverse-map build + (k,)-from-(band,) gather (measured
+    # 48 -> 31 ms at the proximal stack's batch shape — scattered lane
+    # gathers are the scarce resource, dense compares are not).  Valid
+    # compact slots hold DISTINCT window positions (dest is injective on
+    # crossed faces), so each row matches at most once; -1 / out-of-window
+    # / uncrossed / compacted-out successors match nothing and stay -1
+    # (missing neighbor = open boundary; compacted-out only on overflow —
+    # `over` flags that case, so the open-edge signal is gated on ~over)
+    eq = (succ_w[:, None] == order[None, :]) & valid_c[None, :]
+    succ_c = jnp.where(jnp.any(eq, axis=1), jnp.argmax(eq, axis=1), -1)
     open_edge_c = crossed_c & (succ_c < 0)
     succ_c = jnp.where(crossed_c & (succ_c >= 0), succ_c, rows)
     # enforce injectivity (vertex-grazing planes can make two faces claim
