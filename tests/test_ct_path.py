@@ -71,6 +71,10 @@ def test_ct_volume_matches_direct_mesh():
         proximal=SliceSetConfig(zslice_num=96, interp_num=128, band=6144),
         distal=SliceSetConfig(zslice_num=48, interp_num=96, band=6144),
         max_chain=1024,
+        # the default 384 compact slots are sized for the ~33k-face
+        # reference fixtures; these 42-85k-face meshes cross >384 faces
+        # per plane (the analytic mesh's ring alone is 2*n_theta = 384)
+        slice_compact_k=1024,
     )
     bone_kw = dict(head_radius=26.0, shaft_radius=10.0, metaphysis_scale=0.6)
 
