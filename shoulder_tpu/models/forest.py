@@ -63,46 +63,90 @@ def load_params(npz_path=None) -> ForestParams:
         )
 
 
-@partial(jax.jit, static_argnames=())
-def predict_proba(params: ForestParams, x):
+def _subtree_table(params: ForestParams, levels: int):
+    """(T, M, C) row per node holding its depth-`levels` subtree.
+
+    Layout per row: for each level l in [0, levels) a block of 2^l
+    features then 2^l thresholds (BFS order: the node at within-subtree
+    position p has children at 2p true / 2p+1 false), then the 2^levels
+    level-`levels` descendant ids.  All small-int fields are exact as f32
+    values (never bitcast — see ops.slicing.SortedGeom on TPU denormals).
+    Leaves self-loop (true=false=self), so a subtree that runs past a leaf
+    keeps resolving to that leaf and overshooting max_depth is harmless.
+    """
+    T, M = params.feature.shape
+    feat = params.feature.astype(jnp.float32)
+    thr = params.value
+    ids = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[None, :, None], (T, M, 1)
+    )
+    blocks = []
+    for _ in range(levels):
+        w = ids.shape[2]
+        flat = ids.reshape(T, M * w)
+        f_l = jnp.take_along_axis(feat, flat, axis=1).reshape(T, M, w)
+        t_l = jnp.take_along_axis(thr, flat, axis=1).reshape(T, M, w)
+        blocks += [f_l, t_l]
+        tc = jnp.take_along_axis(params.true_child, flat, axis=1)
+        fc = jnp.take_along_axis(params.false_child, flat, axis=1)
+        ids = jnp.stack(
+            [tc.reshape(T, M, w), fc.reshape(T, M, w)], axis=-1
+        ).reshape(T, M, 2 * w)
+    blocks.append(ids.astype(jnp.float32))
+    return jnp.concatenate(blocks, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def predict_proba(params: ForestParams, x, levels: int = 3):
     """Class probabilities for samples x (R, n_features) -> (R, C).
 
     Matches ONNX TreeEnsembleClassifier semantics with BRANCH_LEQ nodes:
     go to the true child when x[feature] <= value.
 
-    The lockstep descent is latency-bound (max_depth sequential rounds of
-    (R, T) gathers), so each round is collapsed to ONE gather: node
-    (feature, threshold, children) are packed into a single (T, M, 4)
-    float table — small-int fields are exact in f32 — and the sample value
-    is selected by a gather-free one-hot contraction over the 9 features.
-    The round count is the forest's true max depth; the loop is unrolled
-    (25 iterations of small ops — loop-carry overhead was comparable to
-    the gathers themselves).
+    The lockstep descent is latency-bound (sequential rounds of (R, T)
+    gathers — v5e gather cost scales with ROWS fetched, not bytes per
+    row), so each round advances `levels` tree levels off ONE gather: the
+    node row packs its whole depth-`levels` subtree (tests + descendant
+    ids, `_subtree_table`), the within-subtree walk is gather-free
+    one-hot selects, and the round count drops from max_depth to
+    ceil(max_depth / levels) — 25 -> 9 serialized gathers at levels=3
+    (measured standalone at the pipeline's 18480x9 shape: 127 -> 75 ms
+    incl. dispatch floor; levels=4/5 widen the row past the win and
+    build 2-4x tables).  The sample value is
+    selected by a one-hot contraction over the 9 features.  Bit-exact vs
+    the level-1 descent: identical comparisons, identical f32 arithmetic.
     """
     x = jnp.asarray(x)
     n_trees, _max_nodes = params.feature.shape
     n_features = x.shape[1]
 
-    packed = jnp.stack(
-        [
-            params.feature.astype(jnp.float32),
-            params.value,
-            params.true_child.astype(jnp.float32),
-            params.false_child.astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (T, M, 4)
+    packed = _subtree_table(params, levels)             # (T, M, C)
     fids = jnp.arange(n_features, dtype=jnp.float32)
+    rounds = -(-params.max_depth // levels)
 
     idx = jnp.zeros((x.shape[0], n_trees), dtype=jnp.int32)
-    for _ in range(params.max_depth):
+    for _ in range(rounds):
         g = jnp.take_along_axis(
             packed[None], idx[..., None, None], axis=2
-        )[:, :, 0, :]                                   # (R, T, 4)
-        onehot = g[..., 0:1] == fids                    # (R, T, F), no gather
-        xv = jnp.sum(jnp.where(onehot, x[:, None, :], 0.0), axis=-1)
-        go_true = xv <= g[..., 1]
-        idx = jnp.where(go_true, g[..., 2], g[..., 3]).astype(jnp.int32)
+        )[:, :, 0, :]                                   # (R, T, C)
+        pos = jnp.zeros(idx.shape, dtype=jnp.int32)
+        off = 0
+        for l in range(levels):
+            w = 1 << l
+            f_blk = g[..., off:off + w]
+            t_blk = g[..., off + w:off + 2 * w]
+            off += 2 * w
+            oh = pos[..., None] == jnp.arange(w)        # (R, T, w)
+            f_sel = jnp.sum(jnp.where(oh, f_blk, 0.0), axis=-1)
+            t_sel = jnp.sum(jnp.where(oh, t_blk, 0.0), axis=-1)
+            onehot = f_sel[..., None] == fids           # (R, T, F)
+            xv = jnp.sum(jnp.where(onehot, x[:, None, :], 0.0), axis=-1)
+            go_true = xv <= t_sel
+            pos = 2 * pos + jnp.where(go_true, 0, 1)
+        w = 1 << levels
+        oh = pos[..., None] == jnp.arange(w)
+        ids_blk = g[..., off:off + w]
+        idx = jnp.sum(jnp.where(oh, ids_blk, 0.0), axis=-1).astype(jnp.int32)
 
     # gather leaf class weights and sum over trees
     lw = jnp.take_along_axis(

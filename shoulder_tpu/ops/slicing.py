@@ -543,15 +543,20 @@ def _compact_slice(sg: SortedGeom, zmm_w, lo, start, z, k: int):
     csum_c = jnp.cumsum(crossed.astype(jnp.int32))
     ncross = csum_c[-1]
     over = ncross > k
-    dest = jnp.where(crossed, csum_c - 1, k)
-    order = (
-        jnp.zeros(k, jnp.int32)
-        .at[dest]
-        .set(jnp.arange(band, dtype=jnp.int32), mode="drop")
-    )
-    # compact slots beyond ncross hold the zero-init (window face 0,
-    # possibly a duplicate of a crossed face) — `valid_c` masks them out
-    # of every data-dependent read below
+    # order[j] = window position of the j-th crossed face = first i with
+    # csum_c[i] == j+1.  As a searchsorted with method='compare_all' this
+    # is one broadcast (k, band) compare-reduce on the VPU instead of a
+    # band-sized scatter — the scatter was the prep map's largest single
+    # fusion in the device trace (~23 ms/batch-8 for the proximal stack;
+    # scatters issue ~8x slower than the dense compares replacing them).
+    order = jnp.searchsorted(
+        csum_c, jnp.arange(1, k + 1, dtype=csum_c.dtype),
+        method="compare_all",
+    ).astype(jnp.int32)
+    # compact slots beyond ncross resolve past the window end (clamped
+    # for the fvt row gather) — `valid_c` masks them out of every
+    # data-dependent read below
+    order = jnp.minimum(order, band - 1)
     valid_c = jnp.arange(k, dtype=jnp.int32) < ncross
     rows = jnp.arange(k)
     # one row gather brings each compacted face's whole geometry AND its
@@ -611,20 +616,21 @@ def _compact_slice(sg: SortedGeom, zmm_w, lo, start, z, k: int):
     # (missing neighbor = open boundary; compacted-out only on overflow —
     # `over` flags that case, so the open-edge signal is gated on ~over)
     eq = (succ_w[:, None] == order[None, :]) & valid_c[None, :]
-    succ_c = jnp.where(jnp.any(eq, axis=1), jnp.argmax(eq, axis=1), -1)
-    open_edge_c = crossed_c & (succ_c < 0)
-    succ_c = jnp.where(crossed_c & (succ_c >= 0), succ_c, rows)
+    has = jnp.any(eq, axis=1)
+    succ_idx = jnp.argmax(eq, axis=1)
+    open_edge_c = crossed_c & ~has
     # enforce injectivity (vertex-grazing planes can make two faces claim
     # one successor; see _crossing_topology): keep the smallest-compact-
     # index predecessor, dead-end the rest.  Compact order preserves
-    # window order, so this matches the band-domain resolution.
-    linked = crossed_c & (succ_c != rows)
-    pred_min = (
-        jnp.full(k, k, jnp.int32)
-        .at[jnp.where(linked, succ_c, k)]
-        .min(rows.astype(jnp.int32), mode="drop")
-    )
-    succ_c = jnp.where(linked & (pred_min[succ_c] != rows), rows, succ_c)
+    # window order, so this matches the band-domain resolution.  The
+    # first predecessor per target column falls out of the SAME eq
+    # matrix (argmax = first true row), replacing the old scatter-min +
+    # pred_min[succ] gather with dense (k, k) passes.
+    linked = crossed_c & has
+    win = eq & linked[:, None]
+    first_pred = jnp.argmax(win, axis=0)        # (k,) min linked row per col
+    keep = linked & (first_pred[succ_idx] == rows)
+    succ_c = jnp.where(keep, succ_idx, rows)
     return (crossed_c, start_c, end_c, succ_c, gi[:, 0], over,
             jnp.any(open_edge_c & ~over))
 

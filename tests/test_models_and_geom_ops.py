@@ -34,6 +34,19 @@ def test_forest_matches_recursive_walk():
     assert np.allclose(ours.sum(1), 1.0, atol=1e-6)
 
 
+def test_forest_multilevel_descent_bitexact():
+    """The packed-subtree descent (levels>1) must be BIT-identical to the
+    one-level reference descent: same comparisons, same f32 arithmetic,
+    only the gather granularity changes."""
+    p = forest.load_params()
+    rng = np.random.default_rng(3)
+    X = (rng.normal(size=(64, 9)) * 2).astype(np.float32)
+    ref = np.asarray(forest.predict_proba(p, X, levels=1))
+    for levels in (2, 3, 4):
+        out = np.asarray(forest.predict_proba(p, X, levels=levels))
+        assert np.array_equal(out, ref), levels
+
+
 # ------------------------------------------------------------------ rect
 def test_min_rotated_rect_rectangle():
     rng = np.random.default_rng(1)
