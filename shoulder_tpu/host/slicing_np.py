@@ -36,33 +36,47 @@ def _face_crossings(vertices, faces, z, eps_scale=1e-12):
     cross_edge = pos != np.roll(pos, -1, axis=1)  # (F,3)
     crossed = cross_edge.sum(axis=1) == 2
 
-    fv = vertices[faces]  # (F,3,3)
-    fi = fv
-    fj = np.roll(fv, -1, axis=1)
-    di = fd
-    dj = np.roll(fd, -1, axis=1)
-    # uncrossed slots have di == dj in sign (and possibly value): guard the
-    # denominator so they never raise divide-by-zero / inf*0 warnings —
-    # their t is garbage but those slots are masked out below
-    denom = di - dj
-    denom = np.where(denom == 0.0, 1.0, denom)
-    t = di / denom
-    pts_all = fi + t[..., None] * (fj - fi)  # (F,3,3) intersection per slot
+    # the geometric work below runs on the crossed subset only (a few
+    # hundred faces of tens of thousands) — this host slicer is on the
+    # per-bone ingest path (head-end detection, ProxObb area scan), where
+    # the full-face-set temporaries were ~half the ingest cost.  Results
+    # scatter back into full-size arrays; arithmetic on crossed faces is
+    # unchanged, so outputs are bit-identical for every face callers read.
+    idx = np.flatnonzero(crossed)
+    F = len(faces)
+    pts = np.zeros((F, 2, 2), vertices.dtype)
+    exit_slot = np.zeros(F, np.int64)
+    entry_slot = np.zeros(F, np.int64)
+    if idx.size:
+        fv = vertices[faces[idx]]  # (C,3,3)
+        fi = fv
+        fj = np.roll(fv, -1, axis=1)
+        di = fd[idx]
+        dj = np.roll(di, -1, axis=1)
+        # uncrossed slots have di == dj in sign (and possibly value): guard
+        # the denominator so they never raise divide-by-zero / inf*0
+        # warnings — their t is garbage but those slots are masked out below
+        denom = di - dj
+        denom = np.where(denom == 0.0, 1.0, denom)
+        t = di / denom
+        pts_all = fi + t[..., None] * (fj - fi)  # (C,3,3) per-slot points
 
-    # for each crossed face pick its two crossing slots
-    slot_idx = np.argsort(~cross_edge, axis=1, kind="stable")[:, :2]  # (F,2)
-    p = np.take_along_axis(pts_all, slot_idx[..., None], axis=1)[..., :2]
+        # for each crossed face pick its two crossing slots
+        slot_idx = np.argsort(
+            ~cross_edge[idx], axis=1, kind="stable"
+        )[:, :2]  # (C,2)
+        p = np.take_along_axis(pts_all, slot_idx[..., None], axis=1)[..., :2]
 
-    # face normal (outward by STL winding)
-    n = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
-    dir2d = np.stack([-n[:, 1], n[:, 0]], axis=1)  # (z_hat x n).xy
-    seg = p[:, 1] - p[:, 0]
-    forward = np.einsum("fi,fi->f", seg, dir2d) >= 0
-    start = np.where(forward[:, None], p[:, 0], p[:, 1])
-    end = np.where(forward[:, None], p[:, 1], p[:, 0])
-    pts = np.stack([start, end], axis=1)
-    exit_slot = np.where(forward, slot_idx[:, 1], slot_idx[:, 0])
-    entry_slot = np.where(forward, slot_idx[:, 0], slot_idx[:, 1])
+        # face normal (outward by STL winding)
+        n = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        dir2d = np.stack([-n[:, 1], n[:, 0]], axis=1)  # (z_hat x n).xy
+        seg = p[:, 1] - p[:, 0]
+        forward = np.einsum("fi,fi->f", seg, dir2d) >= 0
+        start = np.where(forward[:, None], p[:, 0], p[:, 1])
+        end = np.where(forward[:, None], p[:, 1], p[:, 0])
+        pts[idx] = np.stack([start, end], axis=1)
+        exit_slot[idx] = np.where(forward, slot_idx[:, 1], slot_idx[:, 0])
+        entry_slot[idx] = np.where(forward, slot_idx[:, 0], slot_idx[:, 1])
     return crossed, pts, exit_slot, entry_slot
 
 

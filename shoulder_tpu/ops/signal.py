@@ -520,11 +520,18 @@ def rbf_changepoint_1bkp(signal, valid=None, min_size: int = 2):
     return jnp.argmin(cost)
 
 
-def fill_from_scatter(dest, rows, m, init_row):
+def fill_from_scatter(dest, rows, m, init_row, monotone=False):
     """`out[j] = rows[max{k : dest[k] <= j}]`, `init_row` where that set is
     empty — monotone-source row selection.
 
-    Two value-identical implementations, picked by `_FILL_IMPL`:
+    `monotone=True` declares `dest` non-decreasing (entries >= m ignored,
+    matching the scatter's drop mode); the rank then comes from one dense
+    (m, n) compare-reduce on the VPU — `rank[j] = #{k : dest[k] <= j} - 1`
+    — replacing the scatter-max + cummax, the same dense-for-scatter trade
+    as ops.slicing._compact_slice's order (scatters issue ~8x slower than
+    compares at these shapes).  The m-row payload gather is unchanged.
+
+    Otherwise, two value-identical implementations picked by `_FILL_IMPL`:
 
     - "gather" (DEFAULT): scatter-max of k at slot dest[k], one cummax,
       then ONE m-row gather of the (n+1)-row padded table.  Also robust
@@ -543,6 +550,11 @@ def fill_from_scatter(dest, rows, m, init_row):
     gather variant moves each row ONCE.  Scatter+scan only pays when C
     is small; both kept for re-measurement (PERF.md round-3 non-lessons).
     """
+    if monotone:
+        jj = jnp.arange(m, dtype=dest.dtype)
+        count = jnp.sum(dest[None, :] <= jj[:, None], axis=1)   # (m,)
+        padded = jnp.concatenate([init_row[None, :], rows], axis=0)
+        return padded[count]
     if _FILL_IMPL == "gather":
         n = dest.shape[0]
         rank = (
@@ -574,7 +586,7 @@ def fill_from_scatter(dest, rows, m, init_row):
     return jnp.where(valid[:, None], filled, init_row[None, :])
 
 
-def interp_ascending(x, xp, fp):
+def interp_ascending(x, xp, fp, grid=None):
     """`jnp.interp(x, xp, fp)` for ASCENDING query points `x`.
 
     Value-identical to jnp.interp (same interval selection — searchsorted
@@ -588,6 +600,12 @@ def interp_ascending(x, xp, fp):
     gathers.  Requires `xp` sorted ascending (jnp.interp's own contract)
     and `x` ascending (any monotone grid works; uniform just makes the
     initial estimate tight).
+
+    `grid=(x0, step)`: the caller declares that `x[j] == x0 + j * step`
+    BIT-EXACTLY (i.e. it built x with that very expression, not linspace).
+    The +-1 correction then computes the grid values arithmetically and
+    the (n, 2) pair_x row gather disappears — the polar-image build's
+    per-knot gather in the device trace.
     """
     x = jnp.asarray(x)
     xp = jnp.asarray(xp)
@@ -595,28 +613,43 @@ def interp_ascending(x, xp, fp):
     m = x.shape[0]
     n = xp.shape[0]
 
-    x0 = x[0]
-    dt = (x[m - 1] - x0) / jnp.maximum(m - 1, 1)
+    if grid is not None:
+        x0, dt = grid
+        x0 = jnp.asarray(x0, x.dtype)
+        dt = jnp.asarray(dt, x.dtype)
+    else:
+        x0 = x[0]
+        dt = (x[m - 1] - x0) / jnp.maximum(m - 1, 1)
     uniform = dt > 0.0
 
     # smallest j with x[j] >= xp[k], estimated from the uniform inverse
-    # then corrected against the true grid values (two gathers)
+    # then corrected against the true grid values (two gathers, or pure
+    # arithmetic when the caller guarantees the exact grid expression)
     est = jnp.ceil((xp - x0) / jnp.where(uniform, dt, 1.0))
     est = jnp.clip(est, 0.0, float(m)).astype(jnp.int32)
     est = jnp.where(uniform, est, jnp.where(xp <= x0, 0, m))
-    x_pad = jnp.concatenate([x, jnp.full(1, jnp.inf, x.dtype)])
-    # the +-1 correction needs x_pad[est-1] and x_pad[est]: fetch both as
-    # ONE (n, 2) row gather of a shift-paired table instead of two flat
-    # scalar gathers (the device trace had those two as 60 ms/batch-8 —
-    # row gathers of small-width pairs issue ~3x faster per row).  Row j
-    # holds (x_pad[j-1], x_pad[j]); row 0's left slot is never used (the
-    # est >= 1 mask already guards it).
-    pair_x = jnp.stack(
-        [jnp.concatenate([x_pad[:1], x_pad[:m]]), x_pad], axis=1
-    )                                                   # (m+1, 2)
-    g2 = pair_x[est]
-    lo_ok = (est >= 1) & (g2[:, 0] >= xp)
-    hi_bad = g2[:, 1] < xp
+    if grid is not None:
+        ef = est.astype(x.dtype)
+        # x_pad[est] / x_pad[est-1] rebuilt with the caller's exact
+        # expression (x0 + j*step); est == m reads the inf pad.  The
+        # est-1 slot is only read under the est >= 1 guard below.
+        g2_lo = x0 + (ef - 1.0) * dt
+        g2_hi = jnp.where(est >= m, jnp.inf, x0 + ef * dt)
+    else:
+        x_pad = jnp.concatenate([x, jnp.full(1, jnp.inf, x.dtype)])
+        # the +-1 correction needs x_pad[est-1] and x_pad[est]: fetch both
+        # as ONE (n, 2) row gather of a shift-paired table instead of two
+        # flat scalar gathers (the device trace had those two as 60
+        # ms/batch-8 — row gathers of small-width pairs issue ~3x faster
+        # per row).  Row j holds (x_pad[j-1], x_pad[j]); row 0's left slot
+        # is never used (the est >= 1 mask already guards it).
+        pair_x = jnp.stack(
+            [jnp.concatenate([x_pad[:1], x_pad[:m]]), x_pad], axis=1
+        )                                               # (m+1, 2)
+        g2 = pair_x[est]
+        g2_lo, g2_hi = g2[:, 0], g2[:, 1]
+    lo_ok = (est >= 1) & (g2_lo >= xp)
+    hi_bad = g2_hi < xp
     b = jnp.where(lo_ok, est - 1, jnp.where(hi_bad, est + 1, est))
 
     # the old rank construction (scatter-max of k at slot b[k], cummax,
@@ -632,7 +665,7 @@ def interp_ascending(x, xp, fp):
     left = jnp.concatenate([table[: n - 1], table[n - 2 : n - 1]], axis=0)
     right = jnp.concatenate([table[1:], table[n - 1 :]], axis=0)
     src_rows = jnp.concatenate([left, right], axis=1)   # (n, 4)
-    g = fill_from_scatter(b, src_rows, m, src_rows[0])
+    g = fill_from_scatter(b, src_rows, m, src_rows[0], monotone=True)
     g0, g1 = g[:, 0:2], g[:, 2:4]
     df = g1[:, 1] - g0[:, 1]
     dx = g1[:, 0] - g0[:, 0]

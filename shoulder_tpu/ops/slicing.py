@@ -447,7 +447,11 @@ def _resample(points, n_valid, interp_num, max_chain):
     pair = jnp.concatenate(
         [table, jnp.concatenate([table[1:], table[-1:]], axis=0)], axis=1
     )
-    g = signal.fill_from_scatter(first_sample, pair, interp_num, pair[0])
+    # first_sample is non-decreasing (cum is), so the rank is a dense
+    # compare-reduce, not a scatter (fill_from_scatter monotone path)
+    g = signal.fill_from_scatter(
+        first_sample, pair, interp_num, pair[0], monotone=True
+    )
     g0, g1 = g[:, 0:3], g[:, 3:6]
     c0, c1 = g0[:, 2], g1[:, 2]
     t = jnp.clip((d - c0) / jnp.where(c1 > c0, c1 - c0, 1.0), 0.0, 1.0)

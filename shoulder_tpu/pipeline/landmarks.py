@@ -369,7 +369,12 @@ def _anp_image_points(prox: slicing.SliceStack, bg_theta,
         step = (th[-2] - th[0]) / (interp - 1)
         j = jnp.arange(interp, dtype=th.dtype)
         t_samp = th[0] + j * step
-        r_i = sig.interp_ascending(t_samp, th[:-1], r[:-1])
+        # grid=(th[0], step) matches t_samp's construction bit-exactly, so
+        # the interp's +-1 bucket correction is closed-form arithmetic
+        # instead of a per-knot pair gather (see interp_ascending)
+        r_i = sig.interp_ascending(
+            t_samp, th[:-1], r[:-1], grid=(th[0], step)
+        )
         # roll so the groove angle leads (anatomic_neck.py:48-49); only
         # r_i needs the gather — the rolled uniform grid is elementwise
         shift = jnp.argmin(jnp.abs(t_samp - bg_theta))
