@@ -633,7 +633,14 @@ def _compact_slice(sg: SortedGeom, zmm_w, lo, start, z, k: int):
     linked = crossed_c & has
     win = eq & linked[:, None]
     first_pred = jnp.argmax(win, axis=0)        # (k,) min linked row per col
-    keep = linked & (first_pred[succ_idx] == rows)
+    # keep[r] = "r is the first predecessor of its target".  Each row
+    # matches at most one column (valid slots hold distinct window
+    # positions), so this is any_c(win[r,c] & first_pred[c]==r) — a dense
+    # (k,k) pass instead of the first_pred[succ_idx] lane gather (the
+    # gather was the prep map's largest fusion after the order rewrite:
+    # ~23 ms/batch-8 on the proximal stack)
+    is_first = win & (rows[:, None] == first_pred[None, :])
+    keep = jnp.any(is_first, axis=1)
     succ_c = jnp.where(keep, succ_idx, rows)
     return (crossed_c, start_c, end_c, succ_c, gi[:, 0], over,
             jnp.any(open_edge_c & ~over))
