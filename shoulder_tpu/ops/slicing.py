@@ -711,8 +711,9 @@ def _post_walk(order_s, start_flags, n_s, start_s, end_s, orig_s,
     # both pieces as contiguous dynamic slices of a zero-padded copy and
     # select elementwise — contiguous copies run at HBM bandwidth and are
     # free on the roofline, unlike the K-row gather se[ring] they replace.
-    # Positions >= nb read padding/garbage in both formulations and are
-    # masked by in_loop below.
+    # Re-measured round 3 at the 484 ms build: swapping back to the ring
+    # gather cost ~50 ms/batch-8 — the pieces stay.  Positions >= nb read
+    # padding/garbage in both formulations and are masked by in_loop below.
     m_off = off % nb                 # in [0, nb)
     s0 = p0 + m_off                  # roll start, in [p0, p0+nb)
     cut = nb - m_off                 # first piece length, in [1, nb]
