@@ -73,48 +73,53 @@ def _walk_kernel(succ_ref, nc_ref, combo_ref):
 
         jax.lax.fori_loop(0, nc, cp, 0)
 
-        def cond(state):
-            return state[3] == 0
+        # Two-level structure: an outer fori over candidate heads (crossed
+        # faces are front-packed, so nc bounds them) and an inner while
+        # that does PURE walk steps.  The previous single flat while
+        # carried a walk-or-seek cond whose both branches Mosaic executes
+        # predicated on the scalar core every iteration (~170 ns/step);
+        # here a walk step is just its own 2 loads + 2 stores + select.
+        # Visit order, order entries (+K head marks), and counts are
+        # identical to the flat formulation.
+        def head_iter(h, pos):
+            visited = combo_ref[r, h] < 0
 
-        def body(state):
-            head, pos, cur, done = state
+            def skip(pos):
+                return pos
 
-            def walk(_):
-                # cur >= k flags a freshly-seeded run head; the mark is
-                # stored into the order slot (the caller strips it) and
-                # dropped for the successor lookup
-                actual = jax.lax.select(cur >= k, cur - k, cur)
-                nxt = combo_ref[r, actual]
-                combo_ref[r, actual] = -1  # visited mark
-                combo_ref[r, k + pos] = cur
-                # loop closes when the successor is already visited
-                # (if nxt == actual, the dead end was just marked visited)
-                new_cur = jax.lax.select(
-                    combo_ref[r, nxt] < 0, jnp.int32(-1), nxt
+            def run(pos):
+                nxt0 = combo_ref[r, h]
+                combo_ref[r, h] = -1           # visited mark
+                combo_ref[r, k + pos] = h + k  # run-head entry, marked
+                # a self-successor (dead end) reads its own fresh mark
+                # and stops immediately — same as the flat kernel
+                start_cur = jax.lax.select(
+                    combo_ref[r, nxt0] < 0, jnp.int32(-1), nxt0
                 )
-                return head, pos + 1, new_cur, jnp.int32(0)
 
-            def seek(_):
-                # crossed faces are front-packed: nc bounds the heads
-                exhausted = head >= nc
+                def cond(st):
+                    return st[1] >= 0
 
-                def stop(_):
-                    return head, pos, jnp.int32(-1), jnp.int32(1)
-
-                def advance(_):
-                    visited = combo_ref[r, head] < 0
+                def body(st):
+                    p, cur = st
+                    nxt = combo_ref[r, cur]
+                    combo_ref[r, cur] = -1
+                    combo_ref[r, k + p] = cur
+                    # loop closes when the successor is already visited
                     new_cur = jax.lax.select(
-                        visited, jnp.int32(-1), head + k
+                        combo_ref[r, nxt] < 0, jnp.int32(-1), nxt
                     )
-                    return head + 1, pos, new_cur, jnp.int32(0)
+                    return p + 1, new_cur
 
-                return jax.lax.cond(exhausted, stop, advance, None)
+                p_final, _cur = jax.lax.while_loop(
+                    cond, body, (pos + 1, start_cur)
+                )
+                return p_final
 
-            return jax.lax.cond(cur >= 0, walk, seek, None)
+            return jax.lax.cond(visited, skip, run, pos)
 
-        init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0))
-        final = jax.lax.while_loop(cond, body, init)
-        combo_ref[r, 2 * k] = final[1]
+        total = jax.lax.fori_loop(0, nc, head_iter, 0)
+        combo_ref[r, 2 * k] = total
         return _
 
     jax.lax.fori_loop(0, _ROWS, row, 0)
