@@ -520,16 +520,22 @@ def rbf_changepoint_1bkp(signal, valid=None, min_size: int = 2):
     return jnp.argmin(cost)
 
 
-def fill_from_scatter(dest, rows, m, init_row, monotone=False):
+def fill_from_scatter(dest, rows, m, init_row, dense=False):
     """`out[j] = rows[max{k : dest[k] <= j}]`, `init_row` where that set is
     empty — monotone-source row selection.
 
-    `monotone=True` declares `dest` non-decreasing (entries >= m ignored,
-    matching the scatter's drop mode); the rank then comes from one dense
-    (m, n) compare-reduce on the VPU — `rank[j] = #{k : dest[k] <= j} - 1`
-    — replacing the scatter-max + cummax, the same dense-for-scatter trade
-    as ops.slicing._compact_slice's order (scatters issue ~8x slower than
-    compares at these shapes).  The m-row payload gather is unchanged.
+    `dense=True` computes the rank as one dense (m, n) masked max-reduce
+    on the VPU — `rank[j] = max({k : 0 <= dest[k] <= j} | {-1})` — which
+    is EXACTLY the scatter-max + cummax semantics for ARBITRARY `dest`
+    (drops negatives and entries >= m like the scatter's drop mode).
+    Same dense-for-scatter trade as ops.slicing._compact_slice's order
+    (scatters issue ~8x slower than compares at these shapes); the m-row
+    payload gather is unchanged.  An earlier count-based variant
+    (`#{k : dest[k] <= j} - 1`) required `dest` non-decreasing — a
+    precondition interp_ascending's call site silently violates on
+    non-convex contours (theta in walk order is locally non-monotone),
+    which shifted the polar image and moved retroversion ~1.4 deg on the
+    CT A/B bone.  The masked max needs no precondition.
 
     Otherwise, two value-identical implementations picked by `_FILL_IMPL`:
 
@@ -550,11 +556,14 @@ def fill_from_scatter(dest, rows, m, init_row, monotone=False):
     gather variant moves each row ONCE.  Scatter+scan only pays when C
     is small; both kept for re-measurement (PERF.md round-3 non-lessons).
     """
-    if monotone:
+    if dense:
+        n = dest.shape[0]
         jj = jnp.arange(m, dtype=dest.dtype)
-        count = jnp.sum(dest[None, :] <= jj[:, None], axis=1)   # (m,)
+        kk = jnp.arange(n, dtype=jnp.int32)
+        ok = (dest[None, :] <= jj[:, None]) & (dest[None, :] >= 0)
+        rank = jnp.max(jnp.where(ok, kk[None, :], -1), axis=1)  # (m,)
         padded = jnp.concatenate([init_row[None, :], rows], axis=0)
-        return padded[count]
+        return padded[rank + 1]
     if _FILL_IMPL == "gather":
         n = dest.shape[0]
         rank = (
@@ -665,7 +674,7 @@ def interp_ascending(x, xp, fp, grid=None):
     left = jnp.concatenate([table[: n - 1], table[n - 2 : n - 1]], axis=0)
     right = jnp.concatenate([table[1:], table[n - 1 :]], axis=0)
     src_rows = jnp.concatenate([left, right], axis=1)   # (n, 4)
-    g = fill_from_scatter(b, src_rows, m, src_rows[0], monotone=True)
+    g = fill_from_scatter(b, src_rows, m, src_rows[0], dense=True)
     g0, g1 = g[:, 0:2], g[:, 2:4]
     df = g1[:, 1] - g0[:, 1]
     dx = g1[:, 0] - g0[:, 0]

@@ -450,7 +450,7 @@ def _resample(points, n_valid, interp_num, max_chain):
     # first_sample is non-decreasing (cum is), so the rank is a dense
     # compare-reduce, not a scatter (fill_from_scatter monotone path)
     g = signal.fill_from_scatter(
-        first_sample, pair, interp_num, pair[0], monotone=True
+        first_sample, pair, interp_num, pair[0], dense=True
     )
     g0, g1 = g[:, 0:3], g[:, 3:6]
     c0, c1 = g0[:, 2], g1[:, 2]

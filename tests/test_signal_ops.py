@@ -212,3 +212,38 @@ def test_fill_from_scatter_matches_gather_formulation():
             ks = np.nonzero(dest <= j)[0]
             want[j] = rows[ks.max()] if ks.size else init
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_fill_from_scatter_dense_matches_gather_on_any_dest():
+    """The dense (masked max-reduce) rank must equal the gather
+    (scatter-max + cummax) rank for ARBITRARY dest — including locally
+    NON-monotone dest.  Regression for the count-based dense rank that
+    assumed dest non-decreasing: interp_ascending's bucket vector dips on
+    non-convex contours (theta in walk order is locally non-monotone),
+    and the count/max divergence there shifted the anatomic-neck polar
+    image enough to move retroversion ~1.4 deg on the CT A/B bone."""
+    import jax
+    import jax.numpy as jnp
+
+    from shoulder_tpu.ops import signal as sig
+
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        n = int(rng.integers(1, 50))
+        m = int(rng.integers(1, 60))
+        # unsorted destinations: dips, ties, overflow past m
+        dest = rng.integers(0, m + 10, size=n).astype(np.int32)
+        rows = rng.normal(size=(n, 3)).astype(np.float32)
+        init = rng.normal(size=3).astype(np.float32)
+        args = (jnp.asarray(dest), jnp.asarray(rows), m, jnp.asarray(init))
+        got = np.asarray(
+            jax.jit(
+                sig.fill_from_scatter,
+                static_argnums=2,
+                static_argnames=("dense",),
+            )(*args, dense=True)
+        )
+        want = np.asarray(
+            jax.jit(sig.fill_from_scatter, static_argnums=2)(*args)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
