@@ -62,27 +62,33 @@ struct BoxState {
   double axes[9], lo[3], hi[3];
 };
 
-inline void consider_rect(const std::vector<P2> &h2, double hmin, double hmax,
-                          double ax, double ay, double az, double bx,
-                          double by, double bz, double nx, double ny,
-                          double nz, BoxState &st) {
-  const size_t m = h2.size();
+// SoA caliper sweep: xs/ys hold the boundary points.  The per-edge
+// extents are min/max reductions over the SAME u/v expressions as the
+// original AoS loop — min/max are associative and commutative (values
+// are finite here), so the `omp simd` reduction reorder is value-exact;
+// the build keeps -ffp-contract=off so no FMA contraction can perturb
+// the scalar arithmetic either.  This loop is the OBB search's dominant
+// cost (O(m^2) over ~2.7k candidates).
+inline void consider_rect(const double *xs, const double *ys, size_t m,
+                          double hmin, double hmax, double ax, double ay,
+                          double az, double bx, double by, double bz,
+                          double nx, double ny, double nz, BoxState &st) {
   for (size_t e = 0; e < m; ++e) {
-    const P2 &p0 = h2[e];
-    const P2 &p1 = h2[(e + 1) % m];
-    double dx = p1.x - p0.x, dy = p1.y - p0.y;
+    const size_t e1 = (e + 1) % m;
+    double dx = xs[e1] - xs[e], dy = ys[e1] - ys[e];
     const double dl = std::sqrt(dx * dx + dy * dy);
     if (dl < 1e-15) continue;
     dx /= dl;
     dy /= dl;
     double umin = 1e300, umax = -1e300, vmin = 1e300, vmax = -1e300;
+#pragma omp simd reduction(min : umin, vmin) reduction(max : umax, vmax)
     for (size_t i = 0; i < m; ++i) {
-      const double u = h2[i].x * dx + h2[i].y * dy;
-      const double v = -h2[i].x * dy + h2[i].y * dx;
-      umin = std::min(umin, u);
-      umax = std::max(umax, u);
-      vmin = std::min(vmin, v);
-      vmax = std::max(vmax, v);
+      const double u = xs[i] * dx + ys[i] * dy;
+      const double v = -xs[i] * dy + ys[i] * dx;
+      umin = umin < u ? umin : u;
+      umax = umax > u ? umax : u;
+      vmin = vmin < v ? vmin : v;
+      vmax = vmax > v ? vmax : v;
     }
     const double vol = (umax - umin) * (vmax - vmin) * (hmax - hmin);
     if (st.best_vol < 0.0 || vol < st.best_vol) {
@@ -134,8 +140,40 @@ extern "C" int shoulder_min_volume_obb_sil(
   BoxState st;
   std::vector<uint8_t> front(n_faces);
   std::vector<int32_t> stamp(n_pts, -1), nxt(n_pts);
-  std::vector<P2> h2, proj;
+  std::vector<P2> proj, h2tmp;
+  std::vector<double> hxs, hys;
   std::vector<int32_t> cyc;
+
+  // SoA copies of the strided inputs so the per-candidate classification
+  // and height loops vectorize (AVX-512: 8 doubles/lane on this host)
+  std::vector<double> px(n_pts), py(n_pts), pz(n_pts);
+  for (int32_t i = 0; i < n_pts; ++i) {
+    px[i] = hull_pts[3 * i];
+    py[i] = hull_pts[3 * i + 1];
+    pz[i] = hull_pts[3 * i + 2];
+  }
+  std::vector<double> fx(n_faces), fy(n_faces), fz(n_faces);
+  for (int32_t f = 0; f < n_faces; ++f) {
+    fx[f] = face_normals[3 * f];
+    fy[f] = face_normals[3 * f + 1];
+    fz[f] = face_normals[3 * f + 2];
+  }
+  // area-weighted facet normals (0.5 * cross of the CCW-wound edges):
+  // sum over front facets of (An_f . n) is EXACTLY the projected area of
+  // the silhouette polygon — the prune bound below rides the
+  // classification pass with them
+  std::vector<double> awx(n_faces), awy(n_faces), awz(n_faces);
+  for (int32_t f = 0; f < n_faces; ++f) {
+    const int32_t i0 = simplices[3 * f], i1 = simplices[3 * f + 1],
+                  i2 = simplices[3 * f + 2];
+    const double ux = px[i1] - px[i0], uy = py[i1] - py[i0],
+                 uz = pz[i1] - pz[i0];
+    const double vx = px[i2] - px[i0], vy = py[i2] - py[i0],
+                 vz = pz[i2] - pz[i0];
+    awx[f] = 0.5 * (uy * vz - uz * vy);
+    awy[f] = 0.5 * (uz * vx - ux * vz);
+    awz[f] = 0.5 * (ux * vy - uy * vx);
+  }
 
   for (int32_t ci = 0; ci < n_cands; ++ci) {
     const double *nr = cands + 3 * ci;
@@ -163,10 +201,33 @@ extern "C" int shoulder_min_volume_obb_sil(
     const double by = nz * ax - nx * az;
     const double bz = nx * ay - ny * ax;
 
-    // facet classification
+    // height extent first: the prune bound needs it
+    double hmin = 1e300, hmax = -1e300;
+#pragma omp simd reduction(min : hmin) reduction(max : hmax)
+    for (int32_t i = 0; i < n_pts; ++i) {
+      const double hh = px[i] * nx + py[i] * ny + pz[i] * nz;
+      hmin = hmin < hh ? hmin : hh;
+      hmax = hmax > hh ? hmax : hh;
+    }
+
+    // facet classification (elementwise over the SoA normals) fused with
+    // the projected-silhouette-area accumulation: any rectangle
+    // containing the silhouette polygon has area >= the polygon's, so
+    // vol >= hext * aproj.  The 1e-12 relative margin dwarfs the ~1e-14
+    // fp error of either side, so a pruned candidate can never have
+    // beaten best_vol (the winner update uses strict <, so exact ties
+    // never win anyway); survivors run the identical edge-scan/caliper
+    // path, keeping results bit-identical to the unpruned sweep.
+    double aproj = 0.0;
+#pragma omp simd reduction(+ : aproj)
     for (int32_t f = 0; f < n_faces; ++f) {
-      const double *fn = face_normals + 3 * f;
-      front[f] = (fn[0] * nx + fn[1] * ny + fn[2] * nz) > 0.0;
+      const bool fr = (fx[f] * nx + fy[f] * ny + fz[f] * nz) > 0.0;
+      front[f] = fr;
+      aproj += fr ? (awx[f] * nx + awy[f] * ny + awz[f] * nz) : 0.0;
+    }
+    if (st.best_vol >= 0.0 &&
+        (hmax - hmin) * aproj * (1.0 - 1e-12) >= st.best_vol) {
+      continue;
     }
 
     // directed silhouette edges chained via per-candidate stamps
@@ -205,33 +266,32 @@ extern "C" int shoulder_min_volume_obb_sil(
       ok = false;
     }
 
-    double hmin = 1e300, hmax = -1e300;
-    for (int32_t i = 0; i < n_pts; ++i) {
-      const double *p = hull_pts + 3 * i;
-      const double hh = p[0] * nx + p[1] * ny + p[2] * nz;
-      hmin = std::min(hmin, hh);
-      hmax = std::max(hmax, hh);
-    }
-
     if (ok) {
-      h2.resize(cyc.size());
+      hxs.resize(cyc.size());
+      hys.resize(cyc.size());
       for (size_t i = 0; i < cyc.size(); ++i) {
-        const double *p = hull_pts + 3 * cyc[i];
-        h2[i].x = p[0] * ax + p[1] * ay + p[2] * az;
-        h2[i].y = p[0] * bx + p[1] * by + p[2] * bz;
+        const int32_t c = cyc[i];
+        hxs[i] = px[c] * ax + py[c] * ay + pz[c] * az;
+        hys[i] = px[c] * bx + py[c] * by + pz[c] * bz;
       }
     } else {
       // degenerate silhouette: full projected-hull fallback (exactness)
       proj.resize(n_pts);
       for (int32_t i = 0; i < n_pts; ++i) {
-        const double *p = hull_pts + 3 * i;
-        proj[i].x = p[0] * ax + p[1] * ay + p[2] * az;
-        proj[i].y = p[0] * bx + p[1] * by + p[2] * bz;
+        proj[i].x = px[i] * ax + py[i] * ay + pz[i] * az;
+        proj[i].y = px[i] * bx + py[i] * by + pz[i] * bz;
       }
-      hull2d(proj, h2);
-      if (h2.size() < 2) continue;
+      hull2d(proj, h2tmp);
+      if (h2tmp.size() < 2) continue;
+      hxs.resize(h2tmp.size());
+      hys.resize(h2tmp.size());
+      for (size_t i = 0; i < h2tmp.size(); ++i) {
+        hxs[i] = h2tmp[i].x;
+        hys[i] = h2tmp[i].y;
+      }
     }
-    consider_rect(h2, hmin, hmax, ax, ay, az, bx, by, bz, nx, ny, nz, st);
+    consider_rect(hxs.data(), hys.data(), hxs.size(), hmin, hmax, ax, ay, az,
+                  bx, by, bz, nx, ny, nz, st);
   }
   if (st.best_vol < 0.0) return 2;
   for (int i = 0; i < 9; ++i) out_axes[i] = st.axes[i];

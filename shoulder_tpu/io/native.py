@@ -38,12 +38,24 @@ def _try_build() -> None:
         return
     try:
         _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
-        subprocess.run(
-            [gxx, "-O3", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC_PATH), str(_SRC_PATH.parent / "obb.cpp"),
-             "-o", str(_LIB_PATH)],
-            check=True, capture_output=True, timeout=120,
-        )
+        # -march=native + omp-simd vectorize the OBB min/max-reduction
+        # loops (value-exact under reorder); -ffp-contract=off pins every
+        # scalar expression to the unvectorized build's rounding (no FMA)
+        # so oracle/golden comparisons cannot drift.  If the host rejects
+        # -march=native the plain-flag retry below still produces the lib.
+        args = [gxx, "-O3", "-march=native", "-fopenmp-simd",
+                "-ffp-contract=off", "-shared", "-fPIC", "-std=c++17",
+                str(_SRC_PATH), str(_SRC_PATH.parent / "obb.cpp"),
+                "-o", str(_LIB_PATH)]
+        try:
+            subprocess.run(args, check=True, capture_output=True,
+                           timeout=120)
+        except subprocess.CalledProcessError:
+            plain = [a for a in args
+                     if a not in ("-march=native", "-fopenmp-simd",
+                                  "-ffp-contract=off")]
+            subprocess.run(plain, check=True, capture_output=True,
+                           timeout=120)
     except Exception:  # toolchain quirk -> numpy fallback
         if _LIB_PATH.exists():
             _LIB_PATH.unlink()
