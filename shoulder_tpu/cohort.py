@@ -26,32 +26,32 @@ import numpy as np
 from shoulder_tpu.config import DEFAULT_CONFIG, PipelineConfig
 
 
-def _run_batch(specs, rf, proximal, config, device_mesh, chunk, batch_n):
+def _prep_chunk(paths, proximal, config, device_mesh, batch_n):
+    """Worker-thread stage: ingest + host wire-stack + start the H2D.
+
+    Runs on the prefetch thread so the STL parse/OBB CPU work AND the
+    batch's tunnel transfer (jax.device_put is async) both overlap the
+    device's execution of the previous batch.  Short batches pad with a
+    repeat of the last bone.
+    """
     import jax
 
+    from shoulder_tpu.io import ingest
     from shoulder_tpu.pipeline import batch as B
 
+    specs = [
+        ingest.load_bone(p, proximal=proximal, config=config) for p in paths
+    ]
     n_real = len(specs)
-    pad = batch_n - n_real
-    if pad:
-        specs = list(specs) + [specs[-1]] * pad
-    bones = B.stack_bones(specs)
-
+    padded = specs + [specs[-1]] * (batch_n - n_real)
+    wire = B.stack_wire(padded)
     if device_mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from shoulder_tpu.parallel import mesh as pmesh
 
-        bones = pmesh.shard_bones(bones, device_mesh)
-        rf_d = jax.device_put(rf, NamedSharding(device_mesh, P()))
-        fn = pmesh.sharded_landmark_fn(
-            device_mesh, proximal=proximal, cfg=config, chunk=chunk
-        )
-        return fn(bones, rf_d), n_real
-    lm = B.compute_landmarks_batch(
-        bones, rf, proximal=proximal, cfg=config, chunk=chunk
-    )
-    return lm, n_real
+        wire_dev = pmesh.shard_bones(wire, device_mesh)
+    else:
+        wire_dev = jax.device_put(wire)
+    return specs, wire_dev, n_real
 
 
 def process_cohort(
@@ -68,10 +68,11 @@ def process_cohort(
     radius_curvature, canal/TE/groove axes (CT frame), neck_z, and QC.
     With `device_mesh` (jax.sharding.Mesh) each batch shards over devices.
     `batch_size` fixes the compiled batch shape; the cohort streams
-    through it with ingest prefetch (short batches pad with a repeat of
-    the last bone, results de-padded).
+    through it with ingest + H2D prefetch (short batches pad with a
+    repeat of the last bone, results de-padded).
     """
-    from shoulder_tpu.io import ingest
+    import jax
+
     from shoulder_tpu.models import forest
     from shoulder_tpu.pipeline import batch as B
 
@@ -79,15 +80,25 @@ def process_cohort(
         return []
     rf = forest.load_params()
     if device_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from shoulder_tpu.parallel import mesh as pmesh
+
         n_dev = device_mesh.devices.size
         batch_size = max(batch_size, n_dev)
         batch_size += (-batch_size) % n_dev
+        rf_dev = jax.device_put(rf, NamedSharding(device_mesh, P()))
+        fn = pmesh.sharded_landmark_fn(
+            device_mesh, proximal=proximal, cfg=config, chunk=chunk,
+            wire=True,
+        )
+    else:
+        rf_dev = jax.device_put(rf)
 
-    def ingest_chunk(paths):
-        return [
-            ingest.load_bone(p, proximal=proximal, config=config)
-            for p in paths
-        ]
+        def fn(w, r):
+            return B.compute_landmarks_wire(
+                w, r, proximal=proximal, cfg=config, chunk=chunk
+            )
 
     path_chunks = [
         list(stl_paths[i:i + batch_size])
@@ -98,17 +109,21 @@ def process_cohort(
 
     specs, lms = [], []
     with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(ingest_chunk, path_chunks[0])
+        fut = ex.submit(
+            _prep_chunk, path_chunks[0], proximal, config, device_mesh,
+            batch_size,
+        )
         pending = None  # previous batch: (packed device buffer, lm, n_real)
         for ci, paths in enumerate(path_chunks):
-            chunk_specs = fut.result()
+            chunk_specs, wire_dev, n_real = fut.result()
             if ci + 1 < len(path_chunks):
-                # prefetch the next batch's ingest while the device runs
-                fut = ex.submit(ingest_chunk, path_chunks[ci + 1])
-            lm, n_real = _run_batch(
-                chunk_specs, rf, proximal, config, device_mesh, chunk,
-                batch_size,
-            )
+                # prefetch the next batch's ingest + H2D while the device
+                # runs this one
+                fut = ex.submit(
+                    _prep_chunk, path_chunks[ci + 1], proximal, config,
+                    device_mesh, batch_size,
+                )
+            lm = fn(wire_dev, rf_dev)
             # jit dispatch is async.  Enqueue this batch's single-buffer
             # pack right behind its own compute (the device queue is FIFO,
             # so packing the PREVIOUS batch here would wait out this

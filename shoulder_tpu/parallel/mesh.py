@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from shoulder_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from shoulder_tpu.models import forest
+from shoulder_tpu.pipeline.batch import decode_wire
 from shoulder_tpu.pipeline.landmarks import BoneTensors, compute_landmarks
 
 
@@ -37,15 +38,21 @@ def sharded_landmark_fn(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     chunk: int = 150,
     axis: str = "bone",
+    wire: bool = False,
 ):
-    """jit-compiled batched pipeline with bone-sharded in/out specs."""
+    """jit-compiled batched pipeline with bone-sharded in/out specs.
+
+    With `wire=True` the input is a pipeline.batch.WireBones batch (the
+    compact uint16 tunnel format); decode happens per-shard on-device.
+    """
     sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
     def batched(bones, rf):
         return jax.vmap(
-            lambda b, r: compute_landmarks(b, r, proximal=proximal, cfg=cfg,
-                                           chunk=chunk),
+            lambda b, r: compute_landmarks(
+                decode_wire(b) if wire else b, r,
+                proximal=proximal, cfg=cfg, chunk=chunk),
             in_axes=(0, None),
         )(bones, rf)
 

@@ -76,6 +76,31 @@ def test_batch_consistency_vs_single(synth_spec, tiny_cfg):
         assert np.allclose(lm3.canal_axis[i], lm1.canal_axis[0], atol=1e-2)
 
 
+def test_wire_format_matches_direct(synth_spec, tiny_cfg, landmarks):
+    """The uint16 tunnel wire format is a lossless re-encoding: decode
+    reproduces BoneTensors exactly (incl. the -1 neighbor sentinel on
+    padding rows) and the wire pipeline reproduces the direct pipeline."""
+    import jax
+
+    wire = B.stack_wire([synth_spec])
+    bt = jax.tree.map(np.asarray, B.stack_bones([synth_spec]))
+    dec = jax.tree.map(np.asarray, B.decode_wire(jax.device_put(wire)))
+    assert np.array_equal(dec.faces, bt.faces)
+    assert np.array_equal(dec.neighbors, bt.neighbors)
+    assert np.array_equal(dec.face_orig, bt.face_orig)
+    assert np.array_equal(dec.verts, bt.verts)
+    assert dec.obb_transform == pytest.approx(bt.obb_transform)
+    assert float(dec.cutoff_lo[0]) == pytest.approx(float(bt.cutoff_lo[0]))
+
+    lm = B.landmarks_to_numpy(
+        B.compute_landmarks_wire(wire, cfg=tiny_cfg, chunk=16)
+    )
+    assert lm.neckshaft[0] == pytest.approx(landmarks.neckshaft[0], abs=1e-4)
+    assert np.allclose(lm.canal_axis, landmarks.canal_axis, atol=1e-3)
+    assert np.allclose(lm.anp_plane_normal, landmarks.anp_plane_normal,
+                       atol=1e-4)
+
+
 def test_sharded_equals_unsharded(synth_spec, tiny_cfg):
     import jax
 
@@ -96,6 +121,13 @@ def test_sharded_equals_unsharded(synth_spec, tiny_cfg):
     out = jax.tree.map(np.asarray, out)
     assert np.allclose(out.neckshaft, ref.neckshaft, atol=1e-3)
     assert np.allclose(out.canal_axis, ref.canal_axis, atol=1e-2)
+
+    # the wire-format sharded program (the cohort runner's path) agrees
+    wire = pmesh.shard_bones(B.stack_wire([synth_spec] * n), mesh)
+    fn_w = pmesh.sharded_landmark_fn(mesh, cfg=tiny_cfg, chunk=16, wire=True)
+    out_w = jax.tree.map(np.asarray, fn_w(wire, rf))
+    assert np.allclose(out_w.neckshaft, ref.neckshaft, atol=1e-3)
+    assert np.allclose(out_w.canal_axis, ref.canal_axis, atol=1e-2)
 
     # cohort_stats is a real SPMD collective: psum in the jaxpr, values
     # equal to host nan-aware statistics over the same batch
