@@ -93,13 +93,25 @@ def main():
             lm = B.compute_landmarks_batch(bones, chunk=150)
             jax.block_until_ready(lm)
 
-    t0 = time.perf_counter()
+    # one more untimed warm pass: the first execution after the
+    # post-program fetch is routinely ~2x slow on the tunneled TPU
+    # (runtime re-pins buffers after a D2H); don't let it pollute timing.
+    lm = B.compute_landmarks_batch(bones, chunk=150)
+    jax.block_until_ready(lm)
+
+    lat = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         lm = B.compute_landmarks_batch(bones, chunk=150)
         jax.block_until_ready(lm)
-    dt = (time.perf_counter() - t0) / REPS
+        lat.append(time.perf_counter() - t0)
+    dt = float(np.median(lat))
     bones_per_sec = BATCH / dt
-    log(f"exec {dt * 1e3:.1f} ms/batch of {BATCH}")
+    log(
+        "exec per-rep ms: "
+        + ", ".join(f"{t * 1e3:.0f}" for t in lat)
+        + f"; p50 {dt * 1e3:.1f} ms/batch of {BATCH}"
+    )
 
     # sanity check via a tiny on-device reduction (channel already warm)
     summary = np.asarray(

@@ -478,3 +478,11 @@ def test_slice_accessor_facade(synth_spec, tiny_cfg, tmp_path):
     # proximal + distal stacks exist
     assert hum.proximal_slices.zs((0.2, 0.75)).shape[0] > 0
     assert hum.distal_slices.zs((0.8, 0.99)).shape[0] > 0
+
+
+def test_process_cohort_empty():
+    """An empty cohort returns [] instead of erroring inside the
+    streaming setup (no executor, no RF-param load)."""
+    from shoulder_tpu.cohort import process_cohort
+
+    assert process_cohort([]) == []
