@@ -117,13 +117,33 @@ def main():
     summary = np.asarray(
         jax.jit(
             lambda l: jnp.stack(
-                [jnp.nanmean(l.neckshaft), jnp.nanmean(l.radius_curvature)]
+                [
+                    jnp.nanmean(l.neckshaft),
+                    jnp.nanmean(l.radius_curvature),
+                    jnp.nanmean(l.retroversion),
+                ]
             )
         )(lm)
     )
     ns = float(summary[0])
     rad = float(summary[1])
-    sane = 110.0 < ns < 160.0 and 15.0 < rad < 35.0
+    retro = float(summary[2])
+    if os.path.exists(FIXTURE):
+        # gate against the committed golden for the benched fixture, at
+        # slightly above test tolerance (goldens were frozen on the CPU
+        # backend; TPU fp differs at the margin).  A biased-but-stable
+        # build cannot post a number.
+        gold = json.load(
+            open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests", "goldens_fixtures.json"))
+        )["humerus_left.stl"]
+        sane = (
+            abs(ns - gold["neckshaft"]) < 0.75
+            and abs(rad - gold["radius_curvature"]) < 0.75
+            and abs(retro - gold["retroversion"]) < 0.75
+        )
+    else:  # synthetic fallback bone: anatomy-range gate only
+        sane = 110.0 < ns < 160.0 and 15.0 < rad < 35.0
     if not sane:
         print(
             json.dumps(

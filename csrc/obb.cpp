@@ -213,11 +213,12 @@ extern "C" int shoulder_min_volume_obb_sil(
     // facet classification (elementwise over the SoA normals) fused with
     // the projected-silhouette-area accumulation: any rectangle
     // containing the silhouette polygon has area >= the polygon's, so
-    // vol >= hext * aproj.  The 1e-12 relative margin dwarfs the ~1e-14
-    // fp error of either side, so a pruned candidate can never have
-    // beaten best_vol (the winner update uses strict <, so exact ties
-    // never win anyway); survivors run the identical edge-scan/caliper
-    // path, keeping results bit-identical to the unpruned sweep.
+    // vol >= hext * aproj.  aproj is a sum over n_faces terms, so its
+    // relative rounding error grows ~n*ulp (≈5e-12 at the 40960-face
+    // config ceiling); the 1e-10 margin covers that with two orders of
+    // slack while still pruning effectively (real losers lose by orders
+    // of magnitude).  Survivors run the identical edge-scan/caliper
+    // path, so pruning never changes the winner.
     double aproj = 0.0;
 #pragma omp simd reduction(+ : aproj)
     for (int32_t f = 0; f < n_faces; ++f) {
@@ -226,7 +227,7 @@ extern "C" int shoulder_min_volume_obb_sil(
       aproj += fr ? (awx[f] * nx + awy[f] * ny + awz[f] * nz) : 0.0;
     }
     if (st.best_vol >= 0.0 &&
-        (hmax - hmin) * aproj * (1.0 - 1e-12) >= st.best_vol) {
+        (hmax - hmin) * aproj * (1.0 - 1e-10) >= st.best_vol) {
       continue;
     }
 

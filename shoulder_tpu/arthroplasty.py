@@ -44,38 +44,38 @@ class HumeralHeadOsteotomy:
 
     def __init__(self, humerus: bone_mod.ProximalHumerus) -> None:
         self._humerus = humerus
-        self._tfrm_og = humerus._tfrm.matrix.copy()
+        self._caller_matrix = humerus._tfrm.matrix.copy()
 
         # capture the ANP plane in the canal-articular csys
         # (arthroplasty.py:19-25)
         humerus.apply_csys_canal_articular()
-        self._tfrm_anp = humerus._tfrm.matrix.copy()
-        self._anp_plane_csys_anp = humerus.anatomic_neck.plane()
-        self._res_plane_csys_anp = humerus.anatomic_neck.plane()
+        self._anp_frame_matrix = humerus._tfrm.matrix.copy()
+        self._native_plane_anp = humerus.anatomic_neck.plane()
+        self._cut_plane_anp = humerus.anatomic_neck.plane()
 
         # restore the caller's csys via CT (arthroplasty.py:30-31)
         humerus.apply_csys_ct()
-        humerus.apply_csys_custom(self._tfrm_og)
+        humerus.apply_csys_custom(self._caller_matrix)
 
     # ------------------------------------------------------------- reads
     @property
     def plane(self) -> Plane:
         """Resection plane in the current csys (arthroplasty.py:34-40)."""
-        p = _transform_plane(self._res_plane_csys_anp, _np_inv(self._tfrm_anp))
+        p = _transform_plane(self._cut_plane_anp, _np_inv(self._anp_frame_matrix))
         return _transform_plane(p, self._humerus._tfrm.matrix)
 
     @property
     def neckshaft_rel(self) -> float:
         """Neck-shaft angle of the cut relative to native
         (arthroplasty.py:43-54)."""
-        ns = 180.0 - _spherical(self._res_plane_csys_anp.normal)[2]
-        ns_og = 180.0 - _spherical(self._anp_plane_csys_anp.normal)[2]
+        ns = 180.0 - _spherical(self._cut_plane_anp.normal)[2]
+        ns_og = 180.0 - _spherical(self._native_plane_anp.normal)[2]
         return float(ns - ns_og)
 
     @property
     def retroversion_rel(self) -> float:
         """Version of the cut relative to native (arthroplasty.py:56-67)."""
-        an = self._res_plane_csys_anp.normal.copy()
+        an = self._cut_plane_anp.normal.copy()
         an[0] = -an[0]
         ret = _spherical(an)[1]
         if self._humerus.side() == "right":
@@ -103,22 +103,22 @@ class HumeralHeadOsteotomy:
     # ------------------------------------------------------------ offsets
     def offset_retroversion(self, deg: float) -> None:
         """(arthroplasty.py:90-104)"""
-        sphr = _spherical(self._res_plane_csys_anp.normal)
+        sphr = _spherical(self._cut_plane_anp.normal)
         if self._humerus.side() == "left":
             # more retroversion = smaller theta on a left humerus
             sphr[1] -= deg
         else:
             sphr[1] += deg
-        self._res_plane_csys_anp = Plane(
-            self._res_plane_csys_anp.point, _unspherical(sphr)
+        self._cut_plane_anp = Plane(
+            self._cut_plane_anp.point, _unspherical(sphr)
         )
 
     def offest_neckshaft(self, deg: float) -> None:
         """Published spelling preserved (arthroplasty.py:106-118)."""
-        sphr = _spherical(self._res_plane_csys_anp.normal)
+        sphr = _spherical(self._cut_plane_anp.normal)
         sphr[2] -= deg  # a steeper neck-shaft cut lowers phi
-        self._res_plane_csys_anp = Plane(
-            self._res_plane_csys_anp.point, _unspherical(sphr)
+        self._cut_plane_anp = Plane(
+            self._cut_plane_anp.point, _unspherical(sphr)
         )
 
     # ergonomic alias
@@ -126,37 +126,37 @@ class HumeralHeadOsteotomy:
 
     def offset_depth(self, mm: float, direction: str = "canal") -> None:
         """(arthroplasty.py:120-145)"""
-        new_point = self._res_plane_csys_anp.point.copy()
+        new_point = self._cut_plane_anp.point.copy()
         if direction == "canal":
             new_point[2] += mm
         elif direction == "anp":
-            new_point += mm * self._anp_plane_csys_anp.normal
+            new_point += mm * self._native_plane_anp.normal
         elif direction == "resection":
-            new_point += mm * self._res_plane_csys_anp.normal
+            new_point += mm * self._cut_plane_anp.normal
         else:
             raise ValueError(
                 f"unknown offset direction {direction!r}; expected one of "
                 "'canal', 'anp', 'resection'"
             )
-        self._res_plane_csys_anp = Plane(
-            new_point, self._res_plane_csys_anp.normal
+        self._cut_plane_anp = Plane(
+            new_point, self._cut_plane_anp.normal
         )
 
     def offset_anterior_posterior(self, mm: float) -> None:
         """Anterior(+) / posterior(-) shift (arthroplasty.py:147-162)."""
-        new_point = self._res_plane_csys_anp.point.copy()
+        new_point = self._cut_plane_anp.point.copy()
         if self._humerus.side() == "left":
             new_point[0] -= mm
         else:
             new_point[0] += mm
-        self._res_plane_csys_anp = Plane(
-            new_point, self._res_plane_csys_anp.normal
+        self._cut_plane_anp = Plane(
+            new_point, self._cut_plane_anp.normal
         )
 
     def offset_medial_lateral(self, mm: float) -> None:
         """Medial(+) / lateral(-) shift (arthroplasty.py:164-175)."""
-        new_point = self._res_plane_csys_anp.point.copy()
+        new_point = self._cut_plane_anp.point.copy()
         new_point[1] -= mm
-        self._res_plane_csys_anp = Plane(
-            new_point, self._res_plane_csys_anp.normal
+        self._cut_plane_anp = Plane(
+            new_point, self._cut_plane_anp.normal
         )

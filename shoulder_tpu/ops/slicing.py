@@ -447,8 +447,9 @@ def _resample(points, n_valid, interp_num, max_chain):
     pair = jnp.concatenate(
         [table, jnp.concatenate([table[1:], table[-1:]], axis=0)], axis=1
     )
-    # first_sample is non-decreasing (cum is), so the rank is a dense
-    # compare-reduce, not a scatter (fill_from_scatter monotone path)
+    # dense=True routes fill_from_scatter down the precondition-free
+    # masked-max path (a dense compare-reduce, no scatter); it does not
+    # require first_sample to be monotone.
     g = signal.fill_from_scatter(
         first_sample, pair, interp_num, pair[0], dense=True
     )

@@ -26,8 +26,12 @@ def bone_mesh(devices=None, axis: str = "bone") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def shard_bones(bones: BoneTensors, mesh: Mesh, axis: str = "bone"):
-    """Place a stacked BoneTensors batch with the bone dim sharded."""
+def shard_bones(bones, mesh: Mesh, axis: str = "bone"):
+    """Place a stacked bone batch with the bone dim sharded.
+
+    Accepts any bone-batch pytree whose leaves are batched on axis 0 —
+    a stacked BoneTensors or the cohort's WireBones NamedTuple alike.
+    """
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), bones)
 

@@ -77,6 +77,15 @@ def stack_wire(specs: Sequence[BoneSpec]) -> WireBones:
     """Host-stack N BoneSpecs into the numpy wire format (no device work)."""
     n = len(specs)
     f = specs[0].faces.shape[0]
+    v = specs[0].vertices.shape[0]
+    # the uint16 wire reserves 0xFFFF as the "no neighbor" sentinel; any
+    # legitimate vertex/face id must stay below it or the int32->uint16
+    # cast wraps silently.  Fail loudly on misconfigured capacities.
+    if f >= 0xFFFF or v >= 0xFFFF:
+        raise ValueError(
+            f"wire format requires max_faces/max_verts < 65535, got "
+            f"faces={f}, verts={v}; use stack_bones (int32) instead"
+        )
     ids = np.empty((n, f, 7), np.uint16)
     meta = np.empty((n, 21), np.float32)
     for i, s in enumerate(specs):
