@@ -18,6 +18,15 @@ import jax as _jax
 # the UNet opts into bf16 explicitly via its parameter dtype.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the first process pays the ~40-80 s
+# full-resolution compile, every later process deserializes it (see
+# utils/platform.enable_compilation_cache; SHOULDER_TPU_CACHE=off opts out).
+from shoulder_tpu.utils.platform import (  # noqa: E402
+    enable_compilation_cache as _enable_cache,
+)
+
+_enable_cache()
+
 __version__ = "0.1.0"
 __all__ = ["Humerus", "ProximalHumerus", "Plot", "HumeralHeadOsteotomy"]
 

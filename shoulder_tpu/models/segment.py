@@ -81,11 +81,20 @@ def sphere_segment(
 ):
     """Segment the articular surface by robust sphere consensus.
 
+    Four robustness stages (each measured against exact generative
+    ground truth, tools/eval_accuracy.py): a RANSAC init (minimal 4-point
+    sphere hypotheses, Tukey-scored so the zero-residual dome beats
+    shell-grazing imposters); a Tukey-weighted IRLS refinement at
+    0.5*tol; a signed "first departure" cut per theta column at the
+    anatomic-neck recess (or osteophyte ridge) so shell-crossing
+    tuberosity flanks cannot rejoin the mask below the rim; and a
+    longest-cyclic-run cleanup so each row keeps a single articular arc.
+
     Args:
       points: (R, C, 3) surface points in the OBB frame; row 0 is the most
         proximal slice (top of the head).
-      iters: IRLS iterations.
-      tol_mm: inlier tolerance in mm.
+      iters: IRLS refinement iterations after the RANSAC init.
+      tol_mm: base tolerance in mm; strict inliers use 0.6x this.
       init_top_rows: initial inlier band as a fraction of rows from the top
         (the top of the head is articular by construction).
       init_mask: optional (R, C) {0,1} initial inlier set overriding the
@@ -119,15 +128,6 @@ def sphere_segment(
     """
     r, c = points.shape[0], points.shape[1]
     pts = points.reshape(-1, 3)
-    if init_mask is None:
-        row_of = jnp.repeat(jnp.arange(r), c)
-        w = (row_of < int(init_top_rows * r)).astype(pts.dtype)
-    else:
-        w = init_mask.reshape(-1).astype(pts.dtype)
-        # a near-empty proposal can't seed a fit; fall back to the heuristic
-        row_of = jnp.repeat(jnp.arange(r), c)
-        w_heur = (row_of < int(init_top_rows * r)).astype(pts.dtype)
-        w = jnp.where(jnp.sum(w) < 32, w_heur, w)
 
     def fit(w):
         # mean-center for f32 conditioning (see fits.fit_sphere)
@@ -146,18 +146,95 @@ def sphere_segment(
         radius = jnp.sqrt(jnp.maximum(sol[3] + jnp.sum(sol[:3] ** 2), 1e-9))
         return radius, center
 
-    def body(w, _):
-        radius, center = fit(w)
+    def tukey_score(radius, center, scale):
         resid = jnp.abs(jnp.linalg.norm(pts - center, axis=1) - radius)
-        w_new = (resid < tol_mm).astype(pts.dtype)
-        # never collapse to an empty consensus
-        w_new = jnp.where(jnp.sum(w_new) < 32, w, w_new)
-        return w_new, None
+        u = jnp.minimum(resid / scale, 1.0)
+        return jnp.sum((1.0 - u**2) ** 2)
 
-    w, _ = jax.lax.scan(body, w, None, length=iters)
-    radius, center = fit(w)
-    resid = jnp.abs(jnp.linalg.norm(pts - center, axis=1) - radius)
-    inlier = resid < tol_mm
+    # ---- RANSAC init: minimal 4-point sphere hypotheses from the
+    # articular-rich top rows.  A single least-squares init is ~50%
+    # contaminated (tuberosities / neck recess) and lands the IRLS in a
+    # compromise basin it cannot escape; a clean minimal hypothesis scores
+    # the whole exact dome.  The Tukey-weighted score (scale 0.35*tol)
+    # rewards the near-zero-residual articular patch over an imposter
+    # sphere that merely grazes many slices in thin crossing bands (a
+    # plain inlier COUNT prefers the imposter).  Fixed key: deterministic.
+    n_hyp = 128
+    top_n = int(0.4 * r) * c
+    key = jax.random.PRNGKey(17)
+    idx = jax.random.randint(key, (n_hyp, 4), 0, top_n)
+    quads = pts[idx]                                   # (H, 4, 3)
+
+    def sphere4(q):
+        a4 = jnp.concatenate([2.0 * q, jnp.ones((4, 1), q.dtype)], axis=1)
+        f4 = jnp.sum(q**2, axis=1)
+        sol = jnp.linalg.solve(a4, f4)
+        cen = sol[:3]
+        rad = jnp.sqrt(jnp.maximum(sol[3] + jnp.sum(cen**2), 1e-9))
+        return rad, cen
+
+    h_rad, h_cen = jax.vmap(sphere4)(quads)
+    # the CNN proposal (if any) and the top-rows LSQ compete as two more
+    # hypotheses under the same objective score
+    row_of = jnp.repeat(jnp.arange(r), c)
+    w_heur = (row_of < int(init_top_rows * r)).astype(pts.dtype)
+    extra = [fit(w_heur)]
+    if init_mask is not None:
+        w_seed = init_mask.reshape(-1).astype(pts.dtype)
+        w_seed = jnp.where(jnp.sum(w_seed) < 32, w_heur, w_seed)
+        extra.append(fit(w_seed))
+    h_rad = jnp.concatenate([h_rad, jnp.stack([e[0] for e in extra])])
+    h_cen = jnp.concatenate([h_cen, jnp.stack([e[1] for e in extra])])
+
+    def score_one(rad_cen):
+        rad, cen = rad_cen
+        ok = jnp.isfinite(rad) & jnp.all(jnp.isfinite(cen)) \
+            & (rad > 10.0) & (rad < 45.0)
+        s = tukey_score(rad, cen, 0.35 * tol_mm)
+        return jnp.where(ok, s, -1.0)
+
+    # lax.map keeps peak memory at one residual vector per step (a full
+    # vmap would materialize (H, R*C) floats)
+    scores = jax.lax.map(score_one, (h_rad, h_cen), batch_size=16)
+    best = jnp.argmax(scores)
+    radius, center = h_rad[best], h_cen[best]
+
+    # ---- Tukey-weighted IRLS refinement at 0.5*tol: soft weights keep
+    # the fit anchored to the dominant zero-residual dome instead of
+    # re-admitting shell-grazing tuberosity bands the way a hard
+    # threshold does.
+    def body(carry, _):
+        radius, center = carry
+        resid = jnp.abs(jnp.linalg.norm(pts - center, axis=1) - radius)
+        u = jnp.minimum(resid / (0.5 * tol_mm), 1.0)
+        w_new = (1.0 - u**2) ** 2
+        w_new = jnp.where(jnp.sum(w_new) < 32, w_heur, w_new)
+        return fit(w_new), None
+
+    (radius, center), _ = jax.lax.scan(
+        body, (radius, center), None, length=iters
+    )
+    sres = jnp.linalg.norm(pts - center, axis=1) - radius   # signed
+    resid = jnp.abs(sres)
+
+    # anatomic-neck dip truncation: the articular surface ENDS where the
+    # surface first leaves the sphere shell going distally — the neck
+    # recess (sres dives negative) or a marginal osteophyte ridge (sres
+    # spikes positive).  Any surface that merely CROSSES the shell lower
+    # down (tuberosity flanks) re-enters the inlier band and, without this
+    # cut, leaks the mask below the true rim.  Two consecutive rows must
+    # agree so scan noise cannot truncate the dome early.
+    sres2 = sres.reshape(r, c)
+    leave = (sres2 < -0.4 * tol_mm) | (sres2 > 1.25 * tol_mm)
+    leave = leave & jnp.concatenate(
+        [leave[1:], jnp.zeros((1, c), bool)], axis=0
+    )
+    first_leave = jnp.where(
+        leave.any(axis=0), jnp.argmax(leave, axis=0), r
+    )
+    above_rim = (jnp.arange(r)[:, None] < first_leave[None, :]).reshape(-1)
+
+    inlier = (resid < 0.6 * tol_mm) & above_rim
     if support_mask is not None:
         sup = support_mask.reshape(-1) > 0.5
         disagree = jnp.sum(sup & ~inlier) / jnp.maximum(jnp.sum(sup), 1)

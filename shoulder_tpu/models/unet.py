@@ -21,6 +21,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _pad_theta(x, k: int = 1):
+    """Circular pad on the theta (W) axis: the polar image wraps at +-pi."""
+    return jnp.concatenate([x[:, :, -k:], x, x[:, :, :k]], axis=2)
+
+
 class ConvBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
@@ -28,8 +33,14 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding="SAME",
-                        dtype=self.dtype)(x)
+            # zero-pad z (rows), CIRCULAR-pad theta (cols): the image is a
+            # cylinder, and the articular arc routinely crosses the seam
+            # (the groove-anchored roll puts the seam 35 deg from the cap
+            # center).  Same weight shapes as plain SAME padding, so
+            # checkpoints stay compatible.
+            x = _pad_theta(x)
+            x = nn.Conv(self.features, (3, 3),
+                        padding=((1, 1), (0, 0)), dtype=self.dtype)(x)
             x = nn.GroupNorm(num_groups=min(8, self.features),
                              dtype=jnp.float32)(x)
             x = nn.gelu(x)

@@ -40,7 +40,7 @@ def synth_polar_batch(key, batch: int, size: int = 512):
     the observed radius is the max of the two, the label is whether the
     head hit wins.
     """
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 13)
     f = lambda k, lo, hi: jax.random.uniform(k, (batch, 1, 1), minval=lo, maxval=hi)
 
     head_r = f(ks[0], 18.0, 28.0)
@@ -66,19 +66,37 @@ def synth_polar_batch(key, batch: int, size: int = 512):
     disc = b**2 - c
     hit = disc > 0
     r_head = jnp.where(hit, b + jnp.sqrt(jnp.maximum(disc, 0.0)), -jnp.inf)
-    # arthritic flattening: clip the sphere towards a plane
-    r_head = jnp.where(
-        hit,
-        r_head * (1.0 - flatten * jnp.clip(jnp.cos(th - groove_th), 0, 1) ** 2),
-        r_head,
+
+    # articular CAP: the label is the sphere cut by the anatomic-neck
+    # plane (the generator's exact-truth construction, io/testdata.py),
+    # with the off-cap surface dropping into the neck recess crease
+    incl = f(ks[12], jnp.deg2rad(30.0), jnp.deg2rad(62.0))
+    az = jnp.arctan2(off_y, off_x)
+    n_x = jnp.sin(incl) * jnp.cos(az)
+    n_y = jnp.sin(incl) * jnp.sin(az)
+    n_z = jnp.cos(incl)
+    g = (
+        (r_head * ux - off_x) * n_x
+        + (r_head * uy - off_y) * n_y
+        + dz * n_z
+        - 0.10 * head_r
+    )
+    on_cap = hit & (g >= 0.0)
+    r_art = jnp.where(
+        on_cap, r_head, r_head - jnp.clip(1.1 * (-g), 0.0, 6.0)
+    )
+    # arthritic flattening of one flank of the cap
+    dome = jnp.clip(g / (0.45 * head_r), 0.0, 1.0)
+    r_art = r_art * (
+        1.0 - flatten * dome * jnp.clip(jnp.cos(th - az - 0.7), 0, 1) ** 2
     )
 
     # shaft + flare grows toward the bottom of the window
     depth = jnp.clip((-z - 25.0) / 30.0, 0.0, 1.0)
     r_shaft = shaft_r + flare * depth**2
 
-    image_r = jnp.maximum(r_head, r_shaft)
-    label = (r_head > r_shaft).astype(jnp.float32)
+    image_r = jnp.maximum(jnp.where(hit, r_art, -jnp.inf), r_shaft)
+    label = (on_cap & (r_art > r_shaft)).astype(jnp.float32)
 
     # bicipital groove notch (cut into whichever surface is outermost)
     dth = jnp.arctan2(jnp.sin(th - groove_th), jnp.cos(th - groove_th))

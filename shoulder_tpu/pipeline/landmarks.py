@@ -442,8 +442,15 @@ def _anp_from_mask(mask, pts, bone: BoneTensors, sph_resid,
     anatomic_neck.py:123-236).  Mask-source-agnostic: the pipeline passes
     the segmenter output; evaluation tooling passes oracle (exact
     generative) masks."""
-    maski = mask.astype(jnp.int32)
-    edge = jnp.abs(jnp.diff(maski, prepend=0, axis=-1)) > 0   # (R,512)
+    # rim = theta-direction mask transitions.  Theta is PERIODIC (the
+    # image is rolled so the groove azimuth leads), so the boundary is the
+    # cyclic diff; the reference's np.diff(prepend=0)
+    # (anatomic_neck.py:81) additionally emits a spurious column-0 "edge"
+    # on every row whose articular arc wraps the seam — a line of dome
+    # points at the groove azimuth that tilts the plane fit (documented
+    # divergence, PARITY.md).
+    maskb = mask > 0.5
+    edge = maskb != jnp.roll(maskb, 1, axis=-1)               # (R,512)
 
     edge_flat = edge.reshape(-1)
     pts_flat = pts.reshape(-1, 3)

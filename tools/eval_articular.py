@@ -48,7 +48,6 @@ def _cohort_params(kind: str, n: int, seed: int):
             head_radius=float(rng.uniform(20.0, 27.0)),
             neck_shaft_deg=float(rng.uniform(125.0, 145.0)),
             retroversion_deg=float(rng.uniform(12.0, 40.0)),
-            groove_theta_deg=float(rng.uniform(-180.0, 180.0)),
             side="left" if rng.random() < 0.5 else "right",
         )
         if kind == "arthritic":
@@ -67,6 +66,7 @@ def run_cohorts(n_per_cohort: int = 8):
 
     from shoulder_tpu.config import DEFAULT_CONFIG as cfg
     from shoulder_tpu.io import ingest, stl
+    from shoulder_tpu.io import testdata
     from shoulder_tpu.io.testdata import synthetic_humerus
     from shoulder_tpu.models import forest, segment
     from shoulder_tpu.models import unet as unet_mod
@@ -81,7 +81,7 @@ def run_cohorts(n_per_cohort: int = 8):
         raise SystemExit("no UNet checkpoint on disk; train one first")
     rf = forest.load_params()
 
-    def eval_one(bt, label_grid, length):
+    def eval_one(bt, label_grid, z_top, n_true_ct, truth_ns, truth_rad):
         verts_obb = geom.transform_pts(bt.verts, bt.obb_transform)
         sg = slicing.sorted_geom(verts_obb, bt.faces, bt.neighbors)
         zs_full = jnp.linspace(
@@ -108,12 +108,13 @@ def run_cohorts(n_per_cohort: int = 8):
         image, pts = L._anp_image_points(prox, bg_theta, cfg)
 
         # oracle mask: identity build frame -> (ring, theta) label cell
+        # (the generator's ring grid spans [0, z_top], io/testdata.py)
         pts_ct = geom.transform_pts(
             pts.reshape(-1, 3), geom.inv_transform(bt.obb_transform)
         )
-        z0 = jnp.clip(pts_ct[:, 2], 0.0, length)
+        z0 = jnp.clip(pts_ct[:, 2], 0.0, z_top)
         ring = jnp.clip(
-            jnp.round(z0 / length * (N_RINGS - 1)).astype(jnp.int32),
+            jnp.round(z0 / z_top * (N_RINGS - 1)).astype(jnp.int32),
             0, N_RINGS - 1,
         )
         th = jnp.arctan2(pts_ct[:, 1], pts_ct[:, 0])
@@ -153,7 +154,11 @@ def run_cohorts(n_per_cohort: int = 8):
             )
             return p_n_obb, ns, out[8]
 
-        n_o, ns_o, rad_o = plane_and_ns(oracle)
+        # PARAMETRIC oracle (round-4 re-base): the plane normal / NS /
+        # radius truths are the generator's construction parameters, not a
+        # fit on the oracle mask — the mask-derived plane carried a
+        # ~15-23 deg systematic that drowned the metric columns.
+        n_o = bt.obb_transform[:3, :3] @ n_true_ct
         n_s, ns_s, rad_s = plane_and_ns(m_sphere)
         n_u, ns_u, rad_u = plane_and_ns(m_unet)
 
@@ -166,9 +171,9 @@ def run_cohorts(n_per_cohort: int = 8):
         return jnp.stack([
             iou(unary, oracle), iou(m_sphere, oracle), iou(m_unet, oracle),
             angle(n_s, n_o), angle(n_u, n_o),
-            jnp.abs(ns_s - ns_o), jnp.abs(ns_u - ns_o),
-            jnp.abs(rad_s - rad_o), jnp.abs(rad_u - rad_o),
-            ns_o,
+            jnp.abs(ns_s - truth_ns), jnp.abs(ns_u - truth_ns),
+            jnp.abs(rad_s - truth_rad), jnp.abs(rad_u - truth_rad),
+            truth_ns,
         ])
 
     eval_batch = jax.jit(jax.vmap(eval_one))
@@ -182,7 +187,7 @@ def run_cohorts(n_per_cohort: int = 8):
         rows, flats = [], []
         for start in range(0, len(params_list), BATCH):
             chunk = params_list[start:start + BATCH]
-            specs, grids, lengths = [], [], []
+            specs, grids, ztops, ntrues, nss, rads = [], [], [], [], [], []
             for i, p in enumerate(chunk):
                 v, f, label = synthetic_humerus(
                     return_head_label=True, n_rings=N_RINGS,
@@ -198,12 +203,19 @@ def run_cohorts(n_per_cohort: int = 8):
                     label[: N_RINGS * N_THETA]
                     .reshape(N_RINGS, N_THETA).astype(np.float32)
                 )
-                lengths.append(np.float32(p["length"]))
+                tg = testdata.truth_geometry(**p)
+                ztops.append(np.float32(tg["z_top"]))
+                ntrues.append(tg["n_true"].astype(np.float32))
+                nss.append(np.float32(p["neck_shaft_deg"]))
+                rads.append(np.float32(p["head_radius"]))
                 flats.append(p.get("head_flattening", 0.0))
             bones = B.stack_bones(specs)
             out = packing.fetch(eval_batch(
                 bones, jnp.asarray(np.stack(grids)),
-                jnp.asarray(np.stack(lengths)),
+                jnp.asarray(np.stack(ztops)),
+                jnp.asarray(np.stack(ntrues)),
+                jnp.asarray(np.stack(nss)),
+                jnp.asarray(np.stack(rads)),
             ))
             rows.append(np.asarray(out))
             print(f"[eval] {kind} {start + len(chunk)}/{len(params_list)}",

@@ -36,7 +36,11 @@ def _random_params(rng):
         head_radius=rng.uniform(19.0, 28.0),
         neck_shaft_deg=rng.uniform(120.0, 150.0),
         retroversion_deg=rng.uniform(8.0, 45.0),
-        groove_theta_deg=rng.uniform(-180.0, 180.0),
+        # anatomical groove azimuth (coupled to retroversion, like the
+        # generator's default) with +-20 deg jitter: the image roll anchor
+        # varies in training without making the bone non-anatomical
+        groove_theta_deg=None,
+        _groove_jitter=rng.uniform(-20.0, 20.0),
         groove_depth=rng.uniform(1.5, 3.5),
         groove_width_deg=rng.uniform(10.0, 18.0),
         epicondyle_half_width=rng.uniform(24.0, 34.0),
@@ -58,6 +62,7 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
 
     from shoulder_tpu.config import DEFAULT_CONFIG as cfg
     from shoulder_tpu.io import ingest, stl
+    from shoulder_tpu.io import testdata
     from shoulder_tpu.io.testdata import synthetic_humerus
     from shoulder_tpu.models import forest
     from shoulder_tpu.ops import slicing
@@ -68,7 +73,7 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
 
     rf = forest.load_params()
 
-    def extract_one(bt, label_grid, length, neck_frac):
+    def extract_one(bt, label_grid, length, z_top, neck_frac):
         """The pipeline's exact polar-image build (landmarks._anatomic_neck
         input path) + on-device generative label lookup.
 
@@ -100,7 +105,8 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
             cfg.proximal.interp_num, cfg.max_chain, 50, cfg.proximal.band,
         )
         _, _, canal_axis, _, _ = L._canal(full, bt, False, cfg)
-        _, _, bg_theta, _ = L._groove(prox, bt, canal_axis, rf, cfg, chunk=16)
+        _, _, bg_theta, _, _ = L._groove(prox, bt, canal_axis, rf, cfg,
+                                         chunk=16)
 
         # the pipeline's exact anatomic-neck polar image build
         image, pts = L._anp_image_points(prox, bg_theta, cfg)
@@ -109,9 +115,9 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
         pts_ct = geom.transform_pts(
             pts.reshape(-1, 3), geom.inv_transform(bt.obb_transform)
         )
-        z0 = jnp.clip(pts_ct[:, 2], 0.0, length)
+        z0 = jnp.clip(pts_ct[:, 2], 0.0, z_top)
         ring = jnp.clip(
-            jnp.round(z0 / length * (N_RINGS - 1)).astype(jnp.int32),
+            jnp.round(z0 / z_top * (N_RINGS - 1)).astype(jnp.int32),
             0, N_RINGS - 1,
         )
         th = jnp.arctan2(pts_ct[:, 1], pts_ct[:, 0])
@@ -130,10 +136,14 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
     images, masks = [], []
     i = 0
     while len(images) < n_bones:
-        specs, grids, lengths, fracs_in = [], [], [], []
+        specs, grids, lengths, ztops, fracs_in = [], [], [], [], []
         while len(specs) < BATCH:
             i += 1
             params = _random_params(rng)
+            jitter = params.pop("_groove_jitter")
+            params["groove_theta_deg"] = (
+                55.0 + params["retroversion_deg"] + jitter
+            )
             v, f, label = synthetic_humerus(
                 return_head_label=True, n_rings=N_RINGS, n_theta=N_THETA,
                 **params,
@@ -153,11 +163,17 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
                 .astype(np.float32)
             )
             lengths.append(np.float32(params["length"]))
+            ztops.append(np.float32(testdata.truth_geometry(
+                **{k: v for k, v in params.items()
+                   if k in ("length", "head_radius", "neck_shaft_deg",
+                            "retroversion_deg", "side")}
+            )["z_top"]))
             fracs_in.append(np.float32(rng.uniform(0.68, 0.86)))
         bones = B.stack_bones(specs)
         im_b, mk_b = packing.fetch(
             extract(bones, jnp.asarray(np.stack(grids)),
                     jnp.asarray(np.stack(lengths)),
+                    jnp.asarray(np.stack(ztops)),
                     jnp.asarray(np.stack(fracs_in)))
         )
         fracs = []
