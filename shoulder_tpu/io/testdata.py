@@ -96,9 +96,10 @@ def synthetic_humerus(
     tests/test_accuracy_gate.py freezes.
 
     `groove_theta_deg=None` (default) places the bicipital groove at its
-    anatomical azimuth relative to the head axis (55 deg + retroversion,
-    side-mirrored); the groove is what side detection keys on (reference
-    bone_props.py:24-48), so an uncoupled groove makes `side` undefined.
+    anatomical azimuth relative to the head axis (140 deg anterior of the
+    head azimuth, side-mirrored — measured on the reference fixtures); the
+    groove is what side detection keys on (reference bone_props.py:24-48),
+    so an uncoupled groove makes `side` undefined.
     Pass an explicit value only to build deliberately non-anatomical bones.
 
     With `return_head_label`, also returns a per-vertex bool marking
@@ -119,11 +120,16 @@ def synthetic_humerus(
     n_true, head_c = tg["n_true"], tg["head_c"]
     sign, phi_h = tg["sign"], tg["phi_h"]
     if groove_theta_deg is None:
-        # anatomical intertubercular sulcus: 35 deg anterior of the head
-        # azimuth (side detection keys on this relation,
-        # reference bone_props.py:24-48; offset sign measured against the
-        # pipeline's side convention on the real fixtures)
-        groove_theta_deg = 215.0 - retroversion_deg
+        # anatomical intertubercular sulcus: ~140 deg anterior of the head
+        # azimuth about the canal (side detection keys on the SIGN of this
+        # relation, reference bone_props.py:24-48).  Offset measured on the
+        # reference's real fixtures: signed head->groove angle about
+        # canal-down is -138 deg (humerus_left) / +147 deg (humerus_right)
+        # — the head points posteromedially while the groove is
+        # anterolateral, nearly opposite azimuths, NOT the 35 deg a naive
+        # reading suggests.  head azimuth = 180 - retro, so groove =
+        # (180 - retro) + 140 pre-sign; the side mirror below flips it.
+        groove_theta_deg = 320.0 - retroversion_deg
 
     # ring grid extends to just below where the canal axis exits the head
     # sphere, so the dome top is genuinely spherical (a flat truncation
@@ -173,10 +179,10 @@ def synthetic_humerus(
             d = np.arctan2(np.sin(tt - center), np.cos(tt - center))
             return np.exp(-0.5 * (d / np.deg2rad(width_deg)) ** 2)
 
-        # both tuberosities sit on the far side of the groove from the
-        # head azimuth (head at groove - sign*35 deg): a lobe near the
-        # head azimuth would bulge under the medial anatomic-neck rim and
-        # bury the rim crease under the calcar.
+        # both tuberosities flank the groove, which sits ~140 deg from the
+        # head azimuth (see groove default above): a lobe near the head
+        # azimuth would bulge under the medial anatomic-neck rim and bury
+        # the rim crease under the calcar.
         bump_gt = _bump(gth_pre + sign * np.deg2rad(32.0), 38.0)  # greater
         bump_lt = _bump(gth_pre - sign * np.deg2rad(14.0), 18.0)  # lesser
         tub_shape = 0.62 + 0.38 * np.maximum(bump_gt, 0.65 * bump_lt)

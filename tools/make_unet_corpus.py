@@ -142,7 +142,7 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
             params = _random_params(rng)
             jitter = params.pop("_groove_jitter")
             params["groove_theta_deg"] = (
-                55.0 + params["retroversion_deg"] + jitter
+                320.0 - params["retroversion_deg"] + jitter
             )
             v, f, label = synthetic_humerus(
                 return_head_label=True, n_rings=N_RINGS, n_theta=N_THETA,
