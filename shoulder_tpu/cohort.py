@@ -25,6 +25,23 @@ import numpy as np
 
 from shoulder_tpu.config import DEFAULT_CONFIG, PipelineConfig
 
+# the per-bone result dict below reads ONLY these Landmarks fields; the
+# cohort readback packs just them (~40 floats/bone) instead of the full
+# Landmarks (~40k floats/bone: canal/sn/bg/anp point clouds) — on the
+# ~1 s-latency tunnel the packed-summary fetch rides the round-trip floor
+# and the drain tail after the last batch stops costing ~0.5-1 s
+SUMMARY_FIELDS = (
+    "side_is_left", "retroversion", "neckshaft", "radius_curvature",
+    "neck_z", "canal_axis", "te_axis", "bg_axis", "anp_plane_point",
+    "anp_plane_normal", "qc_rf_pos_frac", "qc_mask_area_frac",
+    "qc_sphere_resid", "qc_canal_fit_rms", "qc_slice_overflow",
+    "qc_peak_overflow", "qc_open_edges",
+)
+
+
+def _summary_tree(lm):
+    return {f: getattr(lm, f) for f in SUMMARY_FIELDS}
+
 
 def _prep_chunk(paths, proximal, config, device_mesh, batch_n):
     """Worker-thread stage: ingest + host wire-stack + start the H2D.
@@ -123,14 +140,14 @@ def process_cohort(
                     _prep_chunk, path_chunks[ci + 1], proximal, config,
                     device_mesh, batch_size,
                 )
-            lm = fn(wire_dev, rf_dev)
+            lm = _summary_tree(fn(wire_dev, rf_dev))
             # jit dispatch is async.  Enqueue this batch's single-buffer
             # pack right behind its own compute (the device queue is FIFO,
             # so packing the PREVIOUS batch here would wait out this
             # batch's whole program), then pull the previous batch's
             # already-computed packed buffer over the tunnel while this
-            # batch executes — readback (~0.5-1 s/batch) no longer idles
-            # the device between batches.
+            # batch executes — readback no longer idles the device
+            # between batches, and only the summary fields travel.
             packed = packing._pack_jitted(lm)
             if pending is not None:
                 lms.append(_unpack_batch(*pending))
@@ -145,24 +162,30 @@ def process_cohort(
         out.append(
             {
                 "name": spec.name,
-                "side": "left" if bool(lm.side_is_left[i]) else "right",
-                "retroversion_deg": float(lm.retroversion[i]),
-                "neckshaft_deg": float(lm.neckshaft[i]),
-                "radius_curvature_mm": float(lm.radius_curvature[i]),
-                "neck_z": float(lm.neck_z[i]),
-                "canal_axis_ct": np.asarray(lm.canal_axis[i]),
-                "te_axis_ct": np.asarray(lm.te_axis[i]),
-                "bg_axis_ct": np.asarray(lm.bg_axis[i]),
-                "anp_plane_point_ct": np.asarray(lm.anp_plane_point[i]),
-                "anp_plane_normal_ct": np.asarray(lm.anp_plane_normal[i]),
+                "side": "left" if bool(lm["side_is_left"][i]) else "right",
+                "retroversion_deg": float(lm["retroversion"][i]),
+                "neckshaft_deg": float(lm["neckshaft"][i]),
+                "radius_curvature_mm": float(lm["radius_curvature"][i]),
+                "neck_z": float(lm["neck_z"][i]),
+                "canal_axis_ct": np.asarray(lm["canal_axis"][i]),
+                "te_axis_ct": np.asarray(lm["te_axis"][i]),
+                "bg_axis_ct": np.asarray(lm["bg_axis"][i]),
+                "anp_plane_point_ct": np.asarray(lm["anp_plane_point"][i]),
+                "anp_plane_normal_ct": np.asarray(
+                    lm["anp_plane_normal"][i]
+                ),
                 "qc": {
-                    "rf_pos_frac": float(lm.qc_rf_pos_frac[i]),
-                    "mask_area_frac": float(lm.qc_mask_area_frac[i]),
-                    "sphere_resid_mm": float(lm.qc_sphere_resid[i]),
-                    "canal_fit_rms_mm": float(lm.qc_canal_fit_rms[i]),
-                    "slice_band_overflow": bool(lm.qc_slice_overflow[i]),
-                    "peak_capacity_overflow": bool(lm.qc_peak_overflow[i]),
-                    "open_edges": bool(lm.qc_open_edges[i]),
+                    "rf_pos_frac": float(lm["qc_rf_pos_frac"][i]),
+                    "mask_area_frac": float(lm["qc_mask_area_frac"][i]),
+                    "sphere_resid_mm": float(lm["qc_sphere_resid"][i]),
+                    "canal_fit_rms_mm": float(lm["qc_canal_fit_rms"][i]),
+                    "slice_band_overflow": bool(
+                        lm["qc_slice_overflow"][i]
+                    ),
+                    "peak_capacity_overflow": bool(
+                        lm["qc_peak_overflow"][i]
+                    ),
+                    "open_edges": bool(lm["qc_open_edges"][i]),
                 },
             }
         )
@@ -170,14 +193,14 @@ def process_cohort(
 
 
 def _unpack_batch(packed, lm, n_real):
-    """Blocking D2H of one batch's packed result buffer -> numpy Landmarks."""
+    """Blocking D2H of one batch's packed summary buffer -> numpy tree."""
     from shoulder_tpu.pipeline import packing
 
     return packing.unpack(np.asarray(packed), lm), n_real
 
 
 def jax_tree_concat(lms):
-    """Concatenate per-batch numpy Landmarks, dropping each batch's pad."""
+    """Concatenate per-batch numpy result trees, dropping each batch's pad."""
     import jax
 
     trimmed = [

@@ -62,12 +62,20 @@ def make_cohort(n, rng, arthritic: bool):
     return specs, truth
 
 
-def run_cohort(specs):
+def run_cohort(specs, segmenter=None):
+    import dataclasses
+
+    from shoulder_tpu.config import DEFAULT_CONFIG
     from shoulder_tpu.pipeline import batch as B
 
+    cfg = DEFAULT_CONFIG if segmenter is None else dataclasses.replace(
+        DEFAULT_CONFIG, segmenter=segmenter
+    )
     bones = B.stack_bones(specs)
     t0 = time.perf_counter()
-    lm = B.landmarks_to_numpy(B.compute_landmarks_batch(bones, chunk=150))
+    lm = B.landmarks_to_numpy(
+        B.compute_landmarks_batch(bones, cfg=cfg, chunk=150)
+    )
     print(f"  pipeline: {time.perf_counter() - t0:.1f}s "
           f"for {len(specs)} bones", file=sys.stderr)
     return lm
@@ -116,16 +124,21 @@ def table(name, lm, truth):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # optional second arg: segmenter override ("sphere"/"unet"); results
+    # only land in the committed json for the default path
+    segmenter = sys.argv[2] if len(sys.argv) > 2 else None
     rng = np.random.default_rng(2026)
 
     out = {}
     for name, arthritic in (("healthy", False), ("arthritic", True)):
         specs, truth = make_cohort(n, rng, arthritic)
-        lm = run_cohort(specs)
+        lm = run_cohort(specs, segmenter)
         rows, summary = table(name, lm, truth)
         out[name] = dict(rows=rows, summary=summary)
 
     path = Path(__file__).parent / "eval_accuracy_results.json"
+    if segmenter is not None:
+        path = path.with_name(f"eval_accuracy_{segmenter}.json")
     path.write_text(json.dumps(out, indent=1))
     print(f"\nwrote {path}")
     return 0

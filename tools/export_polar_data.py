@@ -51,7 +51,8 @@ def polar_pairs(stl_paths, cfg=None):
             cfg.proximal.interp_num, cfg.max_chain, 50, cfg.proximal.band,
         )
         _, _, canal_axis, _, _ = L._canal(full, bt, False, cfg)
-        _, _, bg_theta, _ = L._groove(prox, bt, canal_axis, rf, cfg, chunk=16)
+        _, _, bg_theta, _, _ = L._groove(prox, bt, canal_axis, rf, cfg,
+                                         chunk=16)
 
         # the pipeline's exact anatomic-neck polar image build
         image, pts = L._anp_image_points(prox, bg_theta, cfg)
