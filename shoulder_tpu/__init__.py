@@ -19,7 +19,9 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent XLA compilation cache: the first process pays the ~40-80 s
-# full-resolution compile, every later process deserializes it (see
+# full-resolution compile, every later process deserializes it.  The cache
+# dir is keyed per machine ISA so a shared home dir can never serve an
+# executable compiled for a different CPU (see
 # utils/platform.enable_compilation_cache; SHOULDER_TPU_CACHE=off opts out).
 from shoulder_tpu.utils.platform import (  # noqa: E402
     enable_compilation_cache as _enable_cache,

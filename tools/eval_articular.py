@@ -103,8 +103,8 @@ def run_cohorts(n_per_cohort: int = 8):
             sg=sg,
         )
         _, _, canal_axis, _, _ = L._canal(full, bt, False, cfg)
-        bg_points, _, bg_theta, _ = L._groove(prox, bt, canal_axis, rf, cfg,
-                                              chunk=16)
+        bg_points, _, bg_theta, _, _ = L._groove(prox, bt, canal_axis, rf,
+                                                 cfg, chunk=16)
         image, pts = L._anp_image_points(prox, bg_theta, cfg)
 
         # oracle mask: identity build frame -> (ring, theta) label cell
@@ -138,6 +138,8 @@ def run_cohorts(n_per_cohort: int = 8):
             support_mask=unary,
             support_tol_factor=cfg.sphere_seg_support_tol,
             support_min_disagree=cfg.sphere_seg_support_min_disagree,
+            support_max_disagree=cfg.sphere_seg_support_max_disagree,
+            support_min_recall=cfg.sphere_seg_support_min_recall,
         )
 
         def iou(a, b):
