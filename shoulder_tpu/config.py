@@ -166,6 +166,16 @@ class PipelineConfig:
     # Anything above this bound is distrusted wholesale and the output
     # degrades gracefully to the plain sphere consensus.
     sphere_seg_support_max_disagree: float = 0.35
+    # rescue branch: when the strict consensus mask is implausibly small
+    # for an articular dome (< this fraction of the polar image — the
+    # first-departure cut collapses on flattened/osteophytic heads,
+    # measured 4-9% arthritic vs 13-17% healthy), the recall/disagree
+    # plausibility tests are waived and the bounded-residual CNN support
+    # engages (models/segment.sphere_segment support_rescue_max_frac).
+    # (0.12 clears the measured dead zone at strict 0.10-0.11 on deformed
+    # heads while staying under the 0.135+ strict fractions every healthy
+    # bone measures — tools/debug_support_gate.py)
+    sphere_seg_support_rescue_frac: float = 0.12
 
     # --- epicondyle --------------------------------------------------------
     mrr_coarse_angles: int = 256

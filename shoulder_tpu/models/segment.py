@@ -80,6 +80,7 @@ def sphere_segment(
     support_min_disagree: float = 0.05,
     support_max_disagree: float = 0.35,
     support_min_recall: float = 0.5,
+    support_rescue_max_frac: float = 0.12,
 ):
     """Segment the articular surface by robust sphere consensus.
 
@@ -203,12 +204,8 @@ def sphere_segment(
     h_rad = jnp.concatenate([h_rad, jnp.stack([e[0] for e in extra])])
     h_cen = jnp.concatenate([h_cen, jnp.stack([e[1] for e in extra])])
 
-    def pick_and_refine(score_scale, irls_scale):
-        """Hypothesis selection + Tukey IRLS at the given scales.
-
-        Returns the refined sphere, its signed residuals, and the
-        weighted-RMS residual scale of its own Tukey basin.
-        """
+    def pick_best(score_scale):
+        """Best hypothesis under the Tukey score at the given scale."""
 
         def score_one(rad_cen):
             rad, cen = rad_cen
@@ -221,7 +218,25 @@ def sphere_segment(
         # full vmap would materialize (H, R*C) floats)
         scores = jax.lax.map(score_one, (h_rad, h_cen), batch_size=16)
         best = jnp.argmax(scores)
-        radius, center = h_rad[best], h_cen[best]
+        return h_rad[best], h_cen[best]
+
+    def basin_sigma(radius, center):
+        """Tukey-weighted RMS residual at the FIXED 0.5*tol scale."""
+        sres = jnp.linalg.norm(pts - center, axis=1) - radius
+        u_f = jnp.minimum(jnp.abs(sres) / (0.5 * tol_mm), 1.0)
+        w_f = (1.0 - u_f**2) ** 2
+        sigma = jnp.sqrt(
+            jnp.sum(w_f * sres**2) / jnp.maximum(jnp.sum(w_f), 1.0)
+        )
+        return jnp.minimum(sigma, 0.5 * tol_mm)
+
+    def pick_and_refine(score_scale, irls_scale):
+        """Hypothesis selection + Tukey IRLS at the given scales.
+
+        Returns the refined sphere, its signed residuals, and the
+        weighted-RMS residual scale of its own Tukey basin.
+        """
+        radius, center = pick_best(score_scale)
 
         # Tukey-weighted IRLS: soft weights keep the fit anchored to the
         # dominant low-residual dome instead of re-admitting
@@ -243,12 +258,8 @@ def sphere_segment(
         # basin noise, ALWAYS measured at the fixed 0.5*tol scale: tying
         # the measurement to irls_scale feeds back (wider scale -> larger
         # sigma -> wider scale) and inflated the cut thresholds ~2x
-        u_f = jnp.minimum(jnp.abs(sres) / (0.5 * tol_mm), 1.0)
-        w_f = (1.0 - u_f**2) ** 2
-        sigma = jnp.sqrt(
-            jnp.sum(w_f * sres**2) / jnp.maximum(jnp.sum(w_f), 1.0)
-        )
-        return radius, center, sres, jnp.minimum(sigma, 0.5 * tol_mm)
+        sigma = basin_sigma(radius, center)
+        return radius, center, sres, sigma
 
     # ---- noise-adaptive two-round selection.  Round A runs at the
     # exact-truth-tuned tight scales (0.35/0.5 * tol), which reward the
@@ -262,7 +273,14 @@ def sphere_segment(
     # dome then outscores the imposter's thin bands.  On clean surfaces
     # the floors win, round B's scales equal round A's, and the result
     # is identical (golden stability).
-    _, _, _, sigma_a = pick_and_refine(0.35 * tol_mm, 0.5 * tol_mm)
+    #
+    # Round A measures sigma from the best-scoring RAW hypothesis
+    # (no IRLS — the advisor-flagged cost fix): on clean meshes a
+    # minimal 4-point hypothesis from the dome already has a near-zero
+    # basin so the floors still win identically; on rough meshes the
+    # raw-hypothesis sigma reads the same surface roughness the refined
+    # sphere would (validated by the CT A/B test, tests/test_ct_path.py).
+    sigma_a = basin_sigma(*pick_best(0.35 * tol_mm))
     score_b = jnp.maximum(0.35 * tol_mm, 4.5 * sigma_a)
     irls_b = jnp.maximum(0.5 * tol_mm, 4.5 * sigma_a)
     radius, center, sres, sigma = pick_and_refine(score_b, irls_b)
@@ -291,8 +309,18 @@ def sphere_segment(
 
     inlier = (resid < in_thr) & above_rim
     if support_mask is not None:
+        # gate statistics are measured against the CLEANED strict mask
+        # (the longest cyclic run per row — exactly what the sphere-only
+        # arm would output), not the raw inlier set: raw inliers include
+        # disconnected shell-grazing fragments that inflate the strict
+        # fraction and hide a collapsed consensus from the rescue test
+        # (observed: cleaned arthritic masks of 4-9% of the image while
+        # the raw set cleared the rescue threshold).
+        strict = _longest_cyclic_run_per_row(
+            inlier.reshape(r, c)
+        ).reshape(-1)
         sup = support_mask.reshape(-1) > 0.5
-        disagree = jnp.sum(sup & ~inlier) / jnp.maximum(jnp.sum(sup), 1)
+        disagree = jnp.sum(sup & ~strict) / jnp.maximum(jnp.sum(sup), 1)
         # fail-safe plausibility gate (round-4 regression fix): an
         # out-of-domain CNN produces a mask that persistently disagrees —
         # which used to be the ONLY engagement condition, so garbage
@@ -312,13 +340,32 @@ def sphere_segment(
         #     beyond the consensus on HEALTHY bones — anything that far
         #     from the sphere family is distrusted wholesale and the
         #     output degrades gracefully to the plain consensus.
-        recall = jnp.sum(sup & inlier) / jnp.maximum(jnp.sum(inlier), 1)
-        engage = (
-            (disagree > support_min_disagree)
-            & (disagree < support_max_disagree)
+        recall = jnp.sum(sup & strict) / jnp.maximum(jnp.sum(strict), 1)
+        # rescue branch: on strongly deformed heads the strict consensus
+        # itself COLLAPSES (the first-departure cut truncates at the
+        # flattening onset / osteophyte ridge; measured strict masks of
+        # 4-9% of the image on arthritic bones vs 13-17% healthy).  Then
+        # `disagree` is huge for ANY correct mask — the plausibility gate
+        # above would lock out exactly the case the CNN exists to fix
+        # (the arthritic-capable CNN role, reference anatomic_neck.py:61).
+        # When the strict set is implausibly small for an articular dome,
+        # the recall/disagree tests (both measured against that broken
+        # set) are waived and the bounded-residual support engages.
+        strict_frac = jnp.sum(strict) / strict.shape[0]
+        plausible = (
+            (disagree < support_max_disagree)
             & (recall > support_min_recall)
         )
-        inlier = inlier | (
+        rescue = strict_frac < support_rescue_max_frac
+        # (a "takeover" variant — replacing the consensus entirely with
+        # the CNN mask cut by a sphere fit to the CNN's own pixels when
+        # recall vs the collapsed consensus is near zero — was measured
+        # and REJECTED: flattened-cap masks balloon any sphere fit,
+        # robust or not, and the downstream rim plane then flips side /
+        # retroversion on 2 of 8 arthritic bones.  The bounded union
+        # below keeps the consensus dome as the anchor instead.)
+        engage = (disagree > support_min_disagree) & (plausible | rescue)
+        inlier = strict | (
             engage & sup & (resid < support_tol_factor * tol_mm)
         )
     raw = inlier.reshape(r, c)

@@ -280,8 +280,12 @@ def train_mixture(
     n_proc = max(1, int(round(batch * frac_procedural)))
     n_corp = batch - n_proc
 
+    # corpus arrays ride as ARGUMENTS, not closure captures: a captured
+    # jnp array is embedded in the HLO as a constant, and a 288-pair
+    # fp16 corpus (~150 MB) blows the deployment's remote-compile
+    # request size limit (HTTP 413)
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, corpus_images, corpus_masks):
         kidx, kroll, knoise, kproc = jax.random.split(key, 4)
         idx = jax.random.randint(kidx, (n_corp,), 0, n_total)
         ci = corpus_images[idx].astype(jnp.float32)
@@ -306,7 +310,8 @@ def train_mixture(
     losses = []
     for i in range(steps):
         key, sk = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sk)
+        params, opt_state, loss = step(params, opt_state, sk,
+                                       corpus_images, corpus_masks)
         if i % log_every == 0 or i == steps - 1:
             losses.append(float(loss))
             print(f"[unet] step {i} loss {float(loss):.4f}", flush=True)

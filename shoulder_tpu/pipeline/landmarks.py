@@ -428,6 +428,7 @@ def _anatomic_neck(prox: slicing.SliceStack, bone: BoneTensors, bg_theta,
             support_min_disagree=cfg.sphere_seg_support_min_disagree,
             support_max_disagree=cfg.sphere_seg_support_max_disagree,
             support_min_recall=cfg.sphere_seg_support_min_recall,
+            support_rescue_max_frac=cfg.sphere_seg_support_rescue_frac,
         )
     else:
         mask, sph_radius, sph_center, sph_resid = segment.sphere_segment(

@@ -8,6 +8,15 @@ from pathlib import Path
 # switch through the config + backend-cache reset.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The persistent compilation cache is DISABLED for the test suite: the
+# round-4/round-5 full-suite segfault (rc=139, ~75% in, reproducible) is
+# inside jax's cache-write path (compilation_cache.put_executable_and_time
+# serializing an XLA:CPU executable — captured faulthandler stack,
+# 2026-08-20 run).  No cache writes → no crash site; the suite pays
+# recompiles instead, which the per-module cache clearing below bounds.
+# Must be set before shoulder_tpu's import-time enable_compilation_cache.
+os.environ.setdefault("SHOULDER_TPU_CACHE", "off")
+
 import jax  # noqa: E402
 import jax.extend.backend as _jeb  # noqa: E402
 
@@ -28,6 +37,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_BONES = Path("/root/reference/tests/test_bones")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_programs_between_modules():
+    """Free each module's compiled XLA programs at module teardown.
+
+    The full suite compiles hundreds of distinct programs onto the
+    8-device virtual CPU mesh; with all of them kept live, XLA:CPU's
+    compiler reproducibly segfaulted mid-suite (~75% in, always while
+    compiling the same test's program; the file alone passes — an
+    accumulated-state interaction, VERDICT r4 weak #5).  Dropping the
+    executable caches between modules keeps the live-program population
+    bounded.  (The persistent disk cache is off for the suite — see the
+    SHOULDER_TPU_CACHE note above — so cross-module reuse would have been
+    recompiled anyway; per-module programs dominate.)
+    """
+    yield
+    jax.clear_caches()
 
 
 def reference_stl(name: str) -> Path:

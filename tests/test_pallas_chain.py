@@ -76,7 +76,7 @@ def test_chain_walk_empty_slice():
 
 
 @pytest.mark.skipif(
-    "RUN_TPU" not in __import__("os").environ,
+    __import__("os").environ.get("RUN_TPU") != "1",
     reason="real-TPU hardware test: set RUN_TPU=1 (one TPU client at a time)",
 )
 def test_chain_walk_on_tpu_hardware():

@@ -18,7 +18,7 @@ import pytest
 
 
 @pytest.mark.skipif(
-    "RUN_TPU" not in os.environ,
+    os.environ.get("RUN_TPU") != "1",
     reason="real-TPU hardware test: set RUN_TPU=1 (one TPU client at a time)",
 )
 def test_tpu_pipeline_matches_goldens():

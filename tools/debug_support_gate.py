@@ -8,6 +8,7 @@ unary), disagree fraction — the numbers the fail-safe plausibility gate
 (models/segment.sphere_segment support_min_recall) decides on.
 
 Run:  python tools/debug_support_gate.py [n]
+      python tools/debug_support_gate.py bone1.stl [bone2.stl ...]
 """
 
 import sys
@@ -40,7 +41,9 @@ def main():
     if seg_params is None:
         raise SystemExit("no UNet checkpoint")
     rf = forest.load_params()
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    stl_args = [a for a in sys.argv[1:] if a.endswith(".stl")]
+    n = (int(sys.argv[1])
+         if len(sys.argv) > 1 and not stl_args else 2)
 
     def stats_one(bt):
         verts_obb = geom.transform_pts(bt.verts, bt.obb_transform)
@@ -83,6 +86,7 @@ def main():
             support_min_disagree=cfg.sphere_seg_support_min_disagree,
             support_max_disagree=cfg.sphere_seg_support_max_disagree,
             support_min_recall=cfg.sphere_seg_support_min_recall,
+            support_rescue_max_frac=cfg.sphere_seg_support_rescue_frac,
         )
         sup = unary.reshape(-1) > 0.5
         strict = m_sphere.reshape(-1) > 0.5
@@ -99,6 +103,18 @@ def main():
         ])
 
     run = jax.jit(jax.vmap(stats_one))
+
+    if stl_args:
+        specs = [ingest.load_bone(p) for p in stl_args]
+        bones = B.stack_bones(specs)
+        out = np.asarray(run(bones))
+        print("\n== fixtures ==")
+        print("   unary%  strict%  final%   recall  precis  disagree "
+              "  r_sph   r_unet")
+        for path, row in zip(stl_args, out):
+            print("  " + "  ".join(f"{v:6.3f}" for v in row)
+                  + f"  {Path(path).name}")
+        return
 
     rng = np.random.default_rng(123)
     for kind in ("healthy", "arthritic"):

@@ -140,6 +140,7 @@ def run_cohorts(n_per_cohort: int = 8):
             support_min_disagree=cfg.sphere_seg_support_min_disagree,
             support_max_disagree=cfg.sphere_seg_support_max_disagree,
             support_min_recall=cfg.sphere_seg_support_min_recall,
+            support_rescue_max_frac=cfg.sphere_seg_support_rescue_frac,
         )
 
         def iou(a, b):

@@ -1,0 +1,112 @@
+"""Voxel-pitch sweep for the CT-path A/B retroversion tolerance.
+
+Round 4 widened tests/test_ct_path.py's CT-vs-mesh retroversion tolerance
+1.5 -> 4.5 deg with a comment citing a single measured point (3.6 deg
+azimuthal rim error at 1.5 mm pitch).  VERDICT r4 item 7 asks for the
+measurement behind the constant: this tool runs the SAME synthetic bone
+through (a) its direct analytic mesh and (b) synth_ct_volume -> threshold
+-> marching tets at several voxel pitches, and reports the metric deltas
+per pitch, so the committed tolerance is a curve-backed number.
+
+The direct-mesh arm is computed once; each CT arm voxelizes at a different
+pitch.  Everything else matches test_ct_path.test_ct_volume_matches_direct
+(same bone parameters, same enlarged slice bands).
+
+Writes tools/eval_ct_pitch_results.json and prints a table.
+
+Run:  python tools/eval_ct_pitch.py [pitch_mm ...]   (default 1.0 1.5 2.0)
+"""
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from shoulder_tpu.utils.platform import force_cpu  # noqa: E402
+
+force_cpu()
+
+import numpy as np  # noqa: E402
+
+BONE_KW = dict(head_radius=26.0, shaft_radius=10.0, metaphysis_scale=0.6,
+               groove_depth=4.5, groove_width_deg=20.0)
+
+
+def make_cfg():
+    from shoulder_tpu.config import SliceSetConfig, tiny_config
+
+    cfg = tiny_config(max_faces=120000, max_verts=70000)
+    return dataclasses.replace(
+        cfg,
+        full=SliceSetConfig(zslice_num=64, interp_num=64, band=6144),
+        proximal=SliceSetConfig(zslice_num=96, interp_num=128, band=6144),
+        distal=SliceSetConfig(zslice_num=48, interp_num=96, band=6144),
+        max_chain=1024,
+        slice_compact_k=1024,
+    )
+
+
+def main():
+    pitches = [float(a) for a in sys.argv[1:]] or [1.0, 1.5, 2.0]
+
+    from shoulder_tpu.io import ingest, stl
+    from shoulder_tpu.io.testdata import synthetic_humerus
+    from shoulder_tpu.pipeline import batch as B
+    from shoulder_tpu.pipeline import ct
+
+    cfg = make_cfg()
+
+    v, f = synthetic_humerus(n_rings=220, n_theta=192, **BONE_KW)
+    nb, watertight = stl.edge_face_adjacency(f)
+    spec_mesh = ingest.spec_from_arrays(
+        "direct_mesh", v, f, nb, watertight, config=cfg
+    )
+
+    specs = [spec_mesh]
+    for p in pitches:
+        # field of view fixed (~320 x 144 mm), resolution varies with pitch
+        shape = (int(round(320.0 / p)), int(round(144.0 / p)),
+                 int(round(144.0 / p)))
+        vol, origin, spacing = ct.synth_ct_volume(
+            shape=shape, spacing=(p, p, p), seed=1, noise_hu=15.0,
+            **BONE_KW,
+        )
+        seg, iso = ct.segment_volume(vol, "threshold", iso_hu=300.0)
+        spec_ct = ct.volume_to_spec(seg, origin, spacing, iso, config=cfg,
+                                    max_tris=250000)
+        assert spec_ct.watertight, f"pitch {p}: not watertight"
+        specs.append(spec_ct)
+
+    bt = B.stack_bones(specs)
+    lm = B.landmarks_to_numpy(B.compute_landmarks_batch(bt, cfg=cfg,
+                                                        chunk=16))
+    ref = dict(ns=float(lm.neckshaft[0]), rv=float(lm.retroversion[0]),
+               rad=float(lm.radius_curvature[0]), nz=float(lm.neck_z[0]))
+    rows = []
+    print(f"\ndirect mesh: ns {ref['ns']:.2f}  rv {ref['rv']:.2f}  "
+          f"rad {ref['rad']:.2f}  neck_z {ref['nz']:.2f}")
+    print(f"{'pitch':>6s} {'d_ns':>7s} {'d_rv':>7s} {'d_rad':>7s} "
+          f"{'d_neckz':>8s} {'side_ok':>8s}")
+    for i, p in enumerate(pitches, start=1):
+        row = dict(
+            pitch_mm=p,
+            d_ns=float(lm.neckshaft[i]) - ref["ns"],
+            d_rv=float(lm.retroversion[i]) - ref["rv"],
+            d_rad=float(lm.radius_curvature[i]) - ref["rad"],
+            d_neck_z=float(lm.neck_z[i]) - ref["nz"],
+            side_ok=bool(lm.side_is_left[i] == lm.side_is_left[0]),
+        )
+        rows.append(row)
+        print(f"{p:6.2f} {row['d_ns']:+7.2f} {row['d_rv']:+7.2f} "
+              f"{row['d_rad']:+7.2f} {row['d_neck_z']:+8.2f} "
+              f"{str(row['side_ok']):>8s}")
+
+    out = Path(__file__).parent / "eval_ct_pitch_results.json"
+    out.write_text(json.dumps(dict(reference=ref, rows=rows), indent=1))
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

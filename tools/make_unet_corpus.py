@@ -29,7 +29,7 @@ BATCH = 8
 N_RINGS, N_THETA = 160, 128
 
 
-def _random_params(rng):
+def _random_params(rng, arth_frac: float = 0.5):
     p = dict(
         length=rng.uniform(240.0, 320.0),
         shaft_radius=rng.uniform(9.0, 13.0),
@@ -46,8 +46,10 @@ def _random_params(rng):
         epicondyle_half_width=rng.uniform(24.0, 34.0),
         side=("left" if rng.random() < 0.5 else "right"),
     )
-    # half the corpus carries arthritic deformations (BASELINE config 4)
-    if rng.random() < 0.5:
+    # a fraction of the corpus carries arthritic deformations (BASELINE
+    # config 4); the default 0.5 mixes evenly, a higher arth_frac builds
+    # arthritic-weighted corpora (the hard regime for the segmenter)
+    if rng.random() < arth_frac:
         p.update(
             head_flattening=rng.uniform(0.0, 0.28),
             osteophyte_amp=rng.uniform(0.0, 2.5),
@@ -56,7 +58,8 @@ def _random_params(rng):
     return p
 
 
-def build_corpus(n_bones: int, seed: int = 0, out_path=None):
+def build_corpus(n_bones: int, seed: int = 0, out_path=None,
+                 arth_frac: float = 0.5):
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +142,7 @@ def build_corpus(n_bones: int, seed: int = 0, out_path=None):
         specs, grids, lengths, ztops, fracs_in = [], [], [], [], []
         while len(specs) < BATCH:
             i += 1
-            params = _random_params(rng)
+            params = _random_params(rng, arth_frac)
             jitter = params.pop("_groove_jitter")
             params["groove_theta_deg"] = (
                 320.0 - params["retroversion_deg"] + jitter
@@ -197,7 +200,8 @@ def main():
     out = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-    images, masks = build_corpus(n, seed, out_path=out)
+    arth_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
+    images, masks = build_corpus(n, seed, out_path=out, arth_frac=arth_frac)
     np.savez_compressed(out, images=images, masks=masks)
     print(f"wrote {out}: {images.shape}")
 
