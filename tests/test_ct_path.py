@@ -111,8 +111,12 @@ def test_ct_volume_matches_direct_mesh():
     assert np.isfinite(lm.radius_curvature).all()
     assert abs(lm.neckshaft[ct_i] - lm.neckshaft[mesh_i]) < 2.0
     # azimuthal rim localization is the weakest direction on a voxelized
-    # neck recess (measured 3.6 deg at 1.5 mm pitch; the polar-plane
-    # inclination above recovers to 1.4 deg) — bound it separately
+    # neck recess, and the error is pitch-physics, not a code regression:
+    # the committed pitch sweep (tools/eval_ct_pitch.py ->
+    # tools/eval_ct_pitch_results.json, round 5) measures d_rv +1.25 deg
+    # at 1.0 mm, +3.64 deg at this test's 1.5 mm, and collapse at 2.0 mm
+    # where the 3.5 mm groove/recess is sub-voxel (d_ns stays 0.25/1.55/
+    # 3.49).  Bound = the measured 3.64 deg + ~25% margin.
     assert abs(lm.retroversion[ct_i] - lm.retroversion[mesh_i]) < 4.5
     assert abs(
         lm.radius_curvature[ct_i] - lm.radius_curvature[mesh_i]

@@ -37,7 +37,9 @@ BONE_KW = dict(head_radius=26.0, shaft_radius=10.0, metaphysis_scale=0.6,
 def make_cfg():
     from shoulder_tpu.config import SliceSetConfig, tiny_config
 
-    cfg = tiny_config(max_faces=120000, max_verts=70000)
+    # padding sized for the finest pitch: a 1.0 mm marching-tets mesh of
+    # this bone is ~250k faces / ~140k verts
+    cfg = tiny_config(max_faces=300000, max_verts=160000)
     return dataclasses.replace(
         cfg,
         full=SliceSetConfig(zslice_num=64, interp_num=64, band=6144),
@@ -75,7 +77,7 @@ def main():
         )
         seg, iso = ct.segment_volume(vol, "threshold", iso_hu=300.0)
         spec_ct = ct.volume_to_spec(seg, origin, spacing, iso, config=cfg,
-                                    max_tris=250000)
+                                    max_tris=400000)
         assert spec_ct.watertight, f"pitch {p}: not watertight"
         specs.append(spec_ct)
 
