@@ -8,9 +8,11 @@ anatomic_neck.py:62-85).  Its weights are absent from the snapshot
 implementation (NHWC, bf16 activations on the MXU, GroupNorm so batch=1
 inference is exact).
 
-Trained on procedurally generated humeri (models/unet_train.py); the
-classical sphere-consensus segmenter (models/segment.py) remains the
-default until a trained checkpoint is loaded.
+The shipped checkpoint (models/params/unet/) is trained on
+pipeline-extracted images of exact-truth synthetic humeri plus the real
+fixtures (tools/make_unet_corpus.py + tools/train_unet.py, retrained
+round 5); with no checkpoint on disk the pipeline falls back to the
+classical sphere-consensus segmenter (models/segment.py).
 """
 
 from __future__ import annotations
