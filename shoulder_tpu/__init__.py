@@ -29,7 +29,7 @@ from shoulder_tpu.utils.platform import (  # noqa: E402
 
 _enable_cache()
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"
 __all__ = ["Humerus", "ProximalHumerus", "Plot", "HumeralHeadOsteotomy"]
 
 _EXPORTS = {
