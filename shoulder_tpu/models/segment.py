@@ -121,12 +121,19 @@ def sphere_segment(
         sphere-consensus inliers.  See the inline comment at the gate.
       support_min_disagree: the support term engages only when the CNN
         PERSISTENTLY disagrees with the strict consensus — i.e. the
-        fraction of CNN-articular pixels outside the strict inlier set
-        exceeds this threshold.  On healthy heads the CNN and the sphere
-        agree to ~1%, so the gate stays off and the output is
+        fraction of CNN-articular pixels outside the cleaned strict mask
+        exceeds this threshold.  On healthy heads an in-domain CNN and
+        the sphere agree closely, so the gate stays off and the output is
         bit-identical to the plain consensus (golden stability); a
-        flattened dome produces a large coherent disagreement sector and
-        turns the support on.
+        flattened dome produces a coherent disagreement sector and turns
+        the support on — subject to the plausibility/rescue gate below.
+      support_max_disagree: upper disagreement bound of the plausibility
+        gate (see the inline comment at the gate): beyond it the CNN is
+        distrusted wholesale unless the rescue condition holds.
+      support_rescue_max_frac: rescue condition — when the cleaned strict
+        mask covers less than this fraction of the image (the collapsed-
+        consensus regime on flattened/osteophytic heads), the recall and
+        max-disagree tests are waived and the bounded support engages.
 
     Returns (mask (R, C) float {0,1}, radius, center, mean_resid).
     mean_resid is measured over the final mask — widened masks on deformed
